@@ -1,0 +1,109 @@
+"""Bit-level parity of the flax hFT model vs the PyTorch reference.
+
+Instantiates the reference ``Model_SPEC2MIDI`` (imported from the read-only
+reference checkout; skipped when unavailable), copies its weights through the
+importer, and checks every output head on identical inputs. This validates
+both the model math (incl. the fused conv-stem rewrite) and the converter.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+from conftest import REFERENCE_PATH, requires_reference
+
+from nylon_amt_tpu.config import Config, ModelConfig
+from nylon_amt_tpu.models.hft import HFT
+from nylon_amt_tpu.train.importer import convert_state_dict
+
+import jax
+
+
+def _load_reference_model(cfg: Config, device="cpu"):
+    sys.path.insert(0, os.path.join(REFERENCE_PATH, "hftt_code", "model"))
+    try:
+        import model_spec2midi as ref
+    finally:
+        sys.path.pop(0)
+    m = cfg.model
+    encoder = ref.Encoder_SPEC2MIDI(
+        cfg.input.margin_b, cfg.input.num_frame, cfg.feature.n_bins,
+        m.cnn_channel, m.cnn_kernel, m.hid_dim, m.enc_layer, m.enc_head,
+        m.pf_dim, m.dropout, device)
+    decoder = ref.Decoder_SPEC2MIDI(
+        cfg.input.num_frame, cfg.feature.n_bins, cfg.midi.num_note,
+        cfg.midi.num_velocity, m.hid_dim, m.dec_layer, m.dec_head,
+        m.pf_dim, m.dropout, device)
+    return ref.Model_SPEC2MIDI(encoder, decoder)
+
+
+@requires_reference
+@pytest.mark.parametrize("dec_layers", [1, 2])
+def test_forward_parity(rng, dec_layers):
+    cfg = Config(model=ModelConfig(hid_dim=64, pf_dim=128, enc_layer=2,
+                                   dec_layer=dec_layers, enc_head=2,
+                                   dec_head=2, dropout=0.0))
+    torch.manual_seed(0)
+    ref_model = _load_reference_model(cfg)
+    ref_model.eval()
+
+    params = convert_state_dict(ref_model.state_dict(),
+                                cfg.model.enc_layer, cfg.model.dec_layer)
+
+    B = 2
+    spec = rng.standard_normal((B, 256, 192)).astype(np.float32)
+
+    with torch.no_grad():
+        (t_on_A, t_off_A, t_mpe_A, t_vel_A, t_attn,
+         t_on_B, t_off_B, t_mpe_B, t_vel_B) = ref_model(torch.from_numpy(spec))
+
+    model = HFT(config=cfg)
+    out = model.apply({"params": params}, spec, deterministic=True)
+
+    def sig(x):
+        return np.asarray(jax.nn.sigmoid(x))
+
+    # A heads (reference applies sigmoid inside the model; ours are logits).
+    np.testing.assert_allclose(sig(out["onset_A"]), t_on_A.numpy(), atol=2e-5)
+    np.testing.assert_allclose(sig(out["offset_A"]), t_off_A.numpy(), atol=2e-5)
+    np.testing.assert_allclose(sig(out["mpe_A"]), t_mpe_A.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["velocity_A"]), t_vel_A.numpy(),
+                               atol=5e-4)
+    # attention weights of the last stage-1 layer
+    np.testing.assert_allclose(np.asarray(out["attention"]), t_attn.numpy(),
+                               atol=2e-5)
+    # B heads
+    np.testing.assert_allclose(sig(out["onset_B"]), t_on_B.numpy(), atol=2e-5)
+    np.testing.assert_allclose(sig(out["offset_B"]), t_off_B.numpy(), atol=2e-5)
+    np.testing.assert_allclose(sig(out["mpe_B"]), t_mpe_B.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["velocity_B"]), t_vel_B.numpy(),
+                               atol=5e-4)
+
+
+def test_output_shapes_and_jit(rng):
+    cfg = Config()  # reduced recipe defaults
+    model = HFT(config=cfg)
+    spec = rng.standard_normal((2, 256, 192)).astype(np.float32)
+    params = model.init({"params": jax.random.key(0)}, spec)["params"]
+    fwd = jax.jit(lambda p, s: model.apply({"params": p}, s))
+    out = fwd(params, spec)
+    assert out["onset_A"].shape == (2, 128, 88)
+    assert out["velocity_B"].shape == (2, 128, 88, 128)
+    assert out["attention"].shape == (2, 128, cfg.model.dec_head, 88, 256)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_dropout_rng_changes_output(rng):
+    cfg = Config()
+    model = HFT(config=cfg)
+    spec = rng.standard_normal((1, 256, 192)).astype(np.float32)
+    params = model.init({"params": jax.random.key(0)}, spec)["params"]
+    o1 = model.apply({"params": params}, spec, deterministic=False,
+                     rngs={"dropout": jax.random.key(1)})
+    o2 = model.apply({"params": params}, spec, deterministic=False,
+                     rngs={"dropout": jax.random.key(2)})
+    assert not np.allclose(np.asarray(o1["onset_A"]), np.asarray(o2["onset_A"]))
