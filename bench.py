@@ -1,0 +1,88 @@
+"""Headline benchmark: transcription throughput on one TPU chip.
+
+Measures batched sliding-window inference on the paper-scale hFT model
+(d=256, ff=512, 3+3 layers, 4+4 heads — the reference's parity target,
+``m_training_ablation.py:50-57``) in bfloat16 compute, and reports
+transcribed audio seconds per wall second per chip.
+
+Baseline: the driver's north-star target of 20x real time per chip
+(BASELINE.json); ``vs_baseline`` = value / 20.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nylon_amt_tpu.config import Config, ModelConfig
+from nylon_amt_tpu.models.hft import build_model, init_params
+
+BASELINE_AUDIO_SEC_PER_SEC = 20.0  # north-star: 20x real time per chip
+
+
+def main() -> None:
+    batch = 32
+    warmup, iters = 3, 10
+
+    config = Config(model=ModelConfig(
+        hid_dim=256, pf_dim=512, enc_layer=3, dec_layer=3, enc_head=4,
+        dec_head=4, dropout=0.0, compute_dtype="bfloat16"))
+    model = build_model(config)
+    params = init_params(config, jax.random.key(0))
+
+    # Seconds of audio each window advances: num_frame hops.
+    sec_per_window = (config.input.num_frame * config.feature.hop_sample
+                      / config.feature.sr)  # 2.048 s
+
+    def posteriors(spec):
+        out = model.apply({"params": params}, spec, deterministic=True)
+        # Posterior outputs exactly as transcription consumes them.
+        return (jax.nn.sigmoid(out["onset_B"]), jax.nn.sigmoid(out["offset_B"]),
+                jax.nn.sigmoid(out["mpe_B"]),
+                jnp.argmax(out["velocity_B"], axis=-1).astype(jnp.int8),
+                jax.nn.sigmoid(out["onset_A"]), jax.nn.sigmoid(out["offset_A"]),
+                jax.nn.sigmoid(out["mpe_A"]),
+                jnp.argmax(out["velocity_A"], axis=-1).astype(jnp.int8))
+
+    # Timing methodology: this environment reaches the chip through a tunnel
+    # whose block_until_ready is unreliable (returns before execution ends),
+    # so the measured region is a device-side lax.scan of `iters` forwards
+    # inside ONE jit, closed by a host fetch of a scalar checksum. That times
+    # pure steady-state device compute, which is the honest definition of
+    # audio-sec/sec/chip (the input pipeline overlaps in production).
+    @jax.jit
+    def forward_n(spec):
+        def body(carry, _):
+            outs = posteriors(spec + carry * 1e-20)  # defeat CSE across steps
+            return carry + outs[0][0, 0, 0].astype(jnp.float32), None
+        carry, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return carry
+
+    rng = np.random.default_rng(0)
+    spec = jnp.asarray(rng.standard_normal(
+        (batch, config.feature.n_bins, config.window_frames)) * 2.0 - 8.0,
+        jnp.float32)
+
+    for _ in range(warmup):
+        float(forward_n(spec))
+
+    t0 = time.perf_counter()
+    float(forward_n(spec))
+    dt = (time.perf_counter() - t0) / iters
+    audio_sec_per_sec = batch * sec_per_window / dt
+    print(json.dumps({
+        "metric": "transcribe_audio_sec_per_sec_per_chip",
+        "value": round(audio_sec_per_sec, 2),
+        "unit": "audio_sec/sec/chip",
+        "vs_baseline": round(audio_sec_per_sec / BASELINE_AUDIO_SEC_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

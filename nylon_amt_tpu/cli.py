@@ -1,0 +1,267 @@
+"""Command-line interface.
+
+Subcommands replace the reference's EXE shell pipelines
+(``EXE-CORPUS-*.sh`` / ``EXE-TRAINING-*.sh`` / ``EXE-EVALUATION-*.sh``):
+
+* ``corpus``     — WAV+MIDI pairs -> features, labels, windowable split arrays
+* ``train``      — the MAESTRO training recipe on TPU (DP mesh optional)
+* ``transcribe`` — WAV -> posteriors -> note events -> MIDI (+ JSON)
+* ``evaluate``   — note-level and frame-level scoring vs reference MIDI
+
+Run ``python -m nylon_amt_tpu.cli <cmd> --help`` for flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_config(path: str | None):
+    from nylon_amt_tpu.config import Config
+
+    return Config.load(path) if path else Config()
+
+
+# ---------------------------------------------------------------- corpus ----
+
+def cmd_corpus(args) -> int:
+    from nylon_amt_tpu.config import Config
+    from nylon_amt_tpu.data.corpus import build_corpus_split, write_manifest
+    from nylon_amt_tpu.data.lists import CorpusList, make_list_maestro, make_list_maps
+    from nylon_amt_tpu.labels import midi2note, note2label
+    from nylon_amt_tpu.ops.mel import get_frontend
+    from nylon_amt_tpu.utils.wavio import load_mono
+
+    config = _load_config(args.config)
+    if args.maestro_csv:
+        cl = make_list_maestro(args.maestro_csv, args.root or
+                               os.path.dirname(args.maestro_csv))
+    elif args.maps_root:
+        cl = make_list_maps(args.maps_root)
+    else:
+        cl = CorpusList.load(args.lists)
+    os.makedirs(args.out, exist_ok=True)
+    cl.save(os.path.join(args.out, "lists"))
+
+    frontend = get_frontend(config.feature)
+    n_div = {"train": args.n_div_train, "valid": args.n_div_valid,
+             "test": args.n_div_test}
+    for split in ("train", "valid", "test"):
+        entries = cl.entries[split]
+        if args.limit:
+            entries = entries[: args.limit]
+        pieces = []
+        for name, wav_path, midi_path in entries:
+            print(f"[{split}] {name}: {wav_path}", file=sys.stderr)
+            feat = np.asarray(frontend(load_mono(wav_path, config.feature.sr)))
+            notes = midi2note(config, midi_path)
+            labels = note2label(config, notes,
+                                offset_duration_tolerance_flag=args.offset_duration_tolerance)
+            pieces.append((feat, labels))
+        if pieces:
+            build_corpus_split(config, pieces, args.out, split,
+                               n_div=n_div[split])
+    write_manifest(config, args.out)
+    print(f"corpus written to {args.out}")
+    return 0
+
+
+# ----------------------------------------------------------------- train ----
+
+def cmd_train(args) -> int:
+    import dataclasses
+
+    from nylon_amt_tpu.data.corpus import SplitArrays
+    from nylon_amt_tpu.data.windows import WindowDataset
+    from nylon_amt_tpu.parallel.mesh import make_mesh
+    from nylon_amt_tpu.train.loop import Trainer
+
+    config = _load_config(args.config)
+    overrides = {}
+    for f in ("epochs", "batch_size", "lr", "n_slice", "seed"):
+        v = getattr(args, f)
+        if v is not None:
+            overrides[f] = v
+    if overrides:
+        config = dataclasses.replace(
+            config, train=dataclasses.replace(config.train, **overrides))
+
+    mesh = None
+    if args.n_data or args.n_model > 1:
+        mesh = make_mesh(n_data=args.n_data, n_model=args.n_model)
+
+    t = config.train
+
+    def provider(split: str, div: int):
+        n_div = {"train": t.n_div_train, "valid": t.n_div_valid,
+                 "test": t.n_div_test}[split]
+        shard = div if n_div > 1 else None
+        arrays = SplitArrays.load(args.dataset, split, shard=shard)
+        return WindowDataset(arrays, config, n_slice=t.n_slice)
+
+    trainer = Trainer(config, args.out, mesh=mesh)
+    resume = tuple(args.resume) if args.resume else None
+    trainer.fit(provider, resume=resume)
+    print(f"training done; best valid loss {trainer.best_loss_valid:.5f} "
+          f"(epoch {trainer.best_epoch} div {trainer.best_div})")
+    return 0
+
+
+# ------------------------------------------------------------ transcribe ----
+
+def _load_params(args, config):
+    if args.checkpoint.endswith((".pkl", ".dat")):
+        from nylon_amt_tpu.train.importer import load_reference_checkpoint
+
+        return load_reference_checkpoint(args.checkpoint,
+                                         config.model.enc_layer,
+                                         config.model.dec_layer)
+    from nylon_amt_tpu.train.checkpoint import load_params
+
+    return load_params(args.checkpoint, args.epoch, args.div)
+
+
+def cmd_transcribe(args) -> int:
+    from nylon_amt_tpu.infer.transcribe import Transcriber
+    from nylon_amt_tpu.midi.smf import write_notes
+
+    config = _load_config(args.config)
+    params = _load_params(args, config)
+    tr = Transcriber(config, params=params, batch_windows=args.batch_windows)
+
+    for wav in args.wav:
+        feature = tr.wav2feature(wav)
+        if args.stride >= 0:
+            post = tr.transcript_stride(feature, args.stride, mode=args.mode)
+        else:
+            post = tr.transcript(feature, mode=args.mode)
+        fam = "B" if args.mode == "combination" else "A"
+        notes = tr.mpe2note(
+            post[f"onset_{fam}"], post[f"offset_{fam}"], post[f"mpe_{fam}"],
+            post[f"velocity_{fam}"], thred_onset=args.thred_onset,
+            thred_offset=args.thred_offset, thred_mpe=args.thred_mpe,
+            mode_offset=args.mode_offset)
+        stem = os.path.splitext(os.path.basename(wav))[0]
+        out_dir = args.out or os.path.dirname(wav) or "."
+        os.makedirs(out_dir, exist_ok=True)
+        write_notes(os.path.join(out_dir, stem + ".mid"), notes)
+        with open(os.path.join(out_dir, stem + ".notes.json"), "w") as f:
+            json.dump(notes, f, indent=2)
+        if args.save_posteriors:
+            np.savez_compressed(os.path.join(out_dir, stem + ".post.npz"),
+                                **post)
+        print(f"{wav}: {len(notes)} notes -> {out_dir}/{stem}.mid")
+    return 0
+
+
+# -------------------------------------------------------------- evaluate ----
+
+def cmd_evaluate(args) -> int:
+    from nylon_amt_tpu.labels import midi2note
+    from nylon_amt_tpu.metrics.harness import aggregate, score_frames, score_notes
+
+    config = _load_config(args.config)
+    per_file_notes, per_file_frames = {}, {}
+    for pair in args.pair:
+        ref_path, est_path = pair.split(":")
+        ref_notes = midi2note(config, ref_path)
+        if est_path.endswith(".json"):
+            with open(est_path) as f:
+                est_notes = json.load(f)
+        else:
+            est_notes = midi2note(config, est_path)
+        name = os.path.basename(est_path)
+        per_file_notes[name] = score_notes(ref_notes, est_notes)
+        per_file_frames[name] = score_frames(
+            ref_notes, est_notes, fps=config.feature.frames_per_sec,
+            note_min=config.midi.note_min, num_note=config.midi.num_note)
+
+    result = {"note": {"per_file": per_file_notes,
+                       "mean": aggregate(per_file_notes)},
+              "frame": {"per_file": per_file_frames,
+                        "mean": aggregate(per_file_frames)}}
+    text = json.dumps(result, indent=2)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+    print(text)
+    return 0
+
+
+# ----------------------------------------------------------------- parser ---
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="nylon_amt_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("corpus", help="build a windowable training corpus")
+    c.add_argument("--config")
+    c.add_argument("--maestro-csv", help="maestro-v3.0.0.csv path")
+    c.add_argument("--maps-root", help="MAPS dataset root")
+    c.add_argument("--lists", help="directory with {split}.tsv lists")
+    c.add_argument("--root", help="dataset root for relative csv paths")
+    c.add_argument("--out", required=True)
+    c.add_argument("--n-div-train", type=int, default=1)
+    c.add_argument("--n-div-valid", type=int, default=1)
+    c.add_argument("--n-div-test", type=int, default=1)
+    c.add_argument("--limit", type=int, help="first N files per split (smoke)")
+    c.add_argument("--offset-duration-tolerance", action="store_true")
+    c.set_defaults(fn=cmd_corpus)
+
+    t = sub.add_parser("train", help="train the hFT model")
+    t.add_argument("--config")
+    t.add_argument("--dataset", required=True)
+    t.add_argument("--out", required=True)
+    t.add_argument("--epochs", type=int)
+    t.add_argument("--batch-size", type=int)
+    t.add_argument("--lr", type=float)
+    t.add_argument("--n-slice", type=int)
+    t.add_argument("--seed", type=int)
+    t.add_argument("--resume", nargs=2, type=int, metavar=("EPOCH", "DIV"))
+    t.add_argument("--n-data", type=int, help="data-parallel mesh size")
+    t.add_argument("--n-model", type=int, default=1, help="TP mesh size")
+    t.set_defaults(fn=cmd_train)
+
+    r = sub.add_parser("transcribe", help="WAV -> MIDI")
+    r.add_argument("--config")
+    r.add_argument("--checkpoint", required=True,
+                   help="orbax checkpoint dir, or reference .pkl/.dat")
+    r.add_argument("--epoch", type=int)
+    r.add_argument("--div", type=int)
+    r.add_argument("--wav", nargs="+", required=True)
+    r.add_argument("--out")
+    r.add_argument("--mode", choices=["combination", "single"],
+                   default="combination")
+    r.add_argument("--stride", type=int, default=-1,
+                   help="center-crop offset for half-window stride mode")
+    r.add_argument("--batch-windows", type=int, default=8)
+    r.add_argument("--thred-onset", type=float, default=0.5)
+    r.add_argument("--thred-offset", type=float, default=0.5)
+    r.add_argument("--thred-mpe", type=float, default=0.5)
+    r.add_argument("--mode-offset", default="shorter",
+                   choices=["shorter", "longer", "offset"])
+    r.add_argument("--save-posteriors", action="store_true")
+    r.set_defaults(fn=cmd_transcribe)
+
+    e = sub.add_parser("evaluate", help="score estimated vs reference notes")
+    e.add_argument("--config")
+    e.add_argument("--pair", nargs="+", required=True,
+                   metavar="REF.mid:EST.{mid,json}")
+    e.add_argument("--out")
+    e.set_defaults(fn=cmd_evaluate)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

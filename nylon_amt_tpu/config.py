@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 
-@dataclass
+@dataclass(frozen=True)
 class FeatureConfig:
     """Log-mel frontend geometry (reference ``corpus/config.json:2-12``)."""
 
@@ -52,7 +52,7 @@ class FeatureConfig:
             raise ValueError("window_length must be <= fft_bins")
 
 
-@dataclass
+@dataclass(frozen=True)
 class InputConfig:
     """Training-window geometry (reference ``corpus/config.json:13-17``).
 
@@ -74,7 +74,7 @@ class InputConfig:
         return self.margin_b + self.num_frame + self.margin_f
 
 
-@dataclass
+@dataclass(frozen=True)
 class MidiConfig:
     """Piano-roll geometry (reference ``corpus/config.json:18-23``)."""
 
@@ -88,7 +88,7 @@ class MidiConfig:
             raise ValueError("num_note must equal note_max - note_min + 1")
 
 
-@dataclass
+@dataclass(frozen=True)
 class ModelConfig:
     """hFT-Transformer hyperparameters.
 
@@ -126,7 +126,7 @@ class ModelConfig:
             raise ValueError("hid_dim must be divisible by head counts")
 
 
-@dataclass
+@dataclass(frozen=True)
 class TrainConfig:
     """Training-loop hyperparameters (reference ``m_training.py:38-66``)."""
 
@@ -150,7 +150,7 @@ class TrainConfig:
     n_div_test: int = 1
 
 
-@dataclass
+@dataclass(frozen=True)
 class Config:
     feature: FeatureConfig = field(default_factory=FeatureConfig)
     input: InputConfig = field(default_factory=InputConfig)

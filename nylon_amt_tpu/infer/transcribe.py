@@ -1,0 +1,163 @@
+"""Batched sliding-window transcription.
+
+The reference transcribes a full piece by looping 128-frame hops through the
+model one window at a time with a host round-trip per chunk
+(``model/amt.py:66-118``; half-window-stride center-crop variant
+``:121-176``). On TPU that's dispatch-bound, so here all windows are built
+on device in one gather and run through the model in fixed-size batches
+(vmapped by the batch dimension), with posteriors stitched on device. The
+padding geometry and output shapes match the reference exactly:
+
+* plain mode: pad ``margin_b`` before; round frames up to a multiple of
+  ``num_frame`` and pad ``margin_f`` after, all with ``min_value``; outputs
+  have ``ceil(T / num_frame) * num_frame`` frames.
+* stride mode: hop ``num_frame/2``, keep the centered
+  ``[n_offset : n_offset + num_frame/2)`` slice of every window
+  (``:121-132,162-171``).
+
+Onset/offset/mpe posteriors are sigmoids of our logits; velocity is argmax
+over the 128 classes as int8 (``:104-113``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nylon_amt_tpu.config import Config
+from nylon_amt_tpu.ops.mel import MelFrontend
+from nylon_amt_tpu.utils.wavio import load_mono
+
+_POST_KEYS = ("onset", "offset", "mpe", "velocity")
+
+
+class Transcriber:
+    """High-level runtime mirroring the reference ``AMT`` class
+    (``amt.py:9-31``): feature extraction + windowed transcription."""
+
+    def __init__(self, config: Config, params: Any = None, model=None,
+                 batch_windows: int = 8):
+        self.config = config
+        self.params = params
+        if model is None:
+            from nylon_amt_tpu.models.hft import build_model
+
+            model = build_model(config)
+        self.model = model
+        self.frontend = MelFrontend(config.feature)
+        self.batch_windows = batch_windows
+        self._jit_batch = jax.jit(self._run_batch)
+
+    # -- L1: features --------------------------------------------------------
+
+    def wav2feature(self, path: str) -> np.ndarray:
+        """WAV -> log-mel ``[n_frames, n_bins]`` (reference ``amt.py:34-63``)."""
+        wav = load_mono(path, self.config.feature.sr)
+        return np.asarray(self.frontend(wav))
+
+    # -- L7: transcription -----------------------------------------------------
+
+    def _run_batch(self, params, windows: jnp.ndarray) -> dict:
+        """windows [N, n_bins, window_frames] -> posterior dict (device)."""
+        out = self.model.apply({"params": params}, windows, deterministic=True)
+        post = {}
+        for fam in ("A", "B"):
+            post[f"onset_{fam}"] = jax.nn.sigmoid(out[f"onset_{fam}"])
+            post[f"offset_{fam}"] = jax.nn.sigmoid(out[f"offset_{fam}"])
+            post[f"mpe_{fam}"] = jax.nn.sigmoid(out[f"mpe_{fam}"])
+            post[f"velocity_{fam}"] = jnp.argmax(
+                out[f"velocity_{fam}"], axis=-1).astype(jnp.int8)
+        return post
+
+    def _windows(self, feature: np.ndarray, starts: np.ndarray) -> np.ndarray:
+        idx = starts[:, None] + np.arange(self.config.window_frames)
+        return feature[idx].transpose(0, 2, 1)  # [N, n_bins, window]
+
+    def _run_all(self, windows: np.ndarray) -> dict[str, np.ndarray]:
+        """Run N windows through the model in fixed-size jitted batches."""
+        N = windows.shape[0]
+        bw = self.batch_windows
+        chunks: list[dict] = []
+        for i in range(0, N, bw):
+            chunk = windows[i : i + bw]
+            n = chunk.shape[0]
+            if n < bw:  # pad to the static batch; extra rows discarded below
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], bw - n, axis=0)])
+            out = self._jit_batch(self.params, jnp.asarray(chunk))
+            chunks.append({k: np.asarray(v)[:n] for k, v in out.items()})
+        return {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
+
+    def transcript(self, feature: np.ndarray, mode: str = "combination"
+                   ) -> dict[str, np.ndarray]:
+        """Full-piece transcription, plain hops (reference ``amt.py:66-118``).
+
+        Returns ``{onset_A, offset_A, mpe_A, velocity_A[, *_B]}`` arrays of
+        shape ``[ceil(T/num_frame)*num_frame, num_note]``.
+        """
+        cfg = self.config
+        inp = cfg.input
+        T = feature.shape[0]
+        len_s = math.ceil(T / inp.num_frame) * inp.num_frame - T
+        pad_val = np.float32(inp.min_value)
+        padded = np.concatenate([
+            np.full((inp.margin_b, cfg.feature.n_bins), pad_val),
+            np.asarray(feature, np.float32),
+            np.full((len_s + inp.margin_f, cfg.feature.n_bins), pad_val),
+        ])
+        starts = np.arange(0, T, inp.num_frame)
+        post = self._run_all(self._windows(padded, starts))
+
+        fams = ("A", "B") if mode == "combination" else ("A",)
+        result = {}
+        for fam in fams:
+            for key in _POST_KEYS:
+                # [N, num_frame, n_note] -> [N*num_frame, n_note]
+                arr = post[f"{key}_{fam}"].reshape(-1, cfg.midi.num_note)
+                result[f"{key}_{fam}"] = arr
+        return result
+
+    def transcript_stride(self, feature: np.ndarray, n_offset: int,
+                          mode: str = "combination") -> dict[str, np.ndarray]:
+        """Half-window-hop overlap transcription with center crop
+        (reference ``amt.py:121-176``)."""
+        cfg = self.config
+        inp = cfg.input
+        half = inp.num_frame // 2
+        T = feature.shape[0]
+        tmp_len = T + inp.margin_b + inp.margin_f + half
+        len_s = math.ceil(tmp_len / half) * half - tmp_len
+        pad_val = np.float32(inp.min_value)
+        padded = np.concatenate([
+            np.full((inp.margin_b + n_offset, cfg.feature.n_bins), pad_val),
+            np.asarray(feature, np.float32),
+            np.full((len_s + inp.margin_f + (half - n_offset),
+                     cfg.feature.n_bins), pad_val),
+        ])
+        starts = np.arange(0, T, half)
+        post = self._run_all(self._windows(padded, starts))
+
+        fams = ("A", "B") if mode == "combination" else ("A",)
+        result = {}
+        for fam in fams:
+            for key in _POST_KEYS:
+                arr = post[f"{key}_{fam}"][:, n_offset : n_offset + half, :]
+                result[f"{key}_{fam}"] = arr.reshape(-1, cfg.midi.num_note)[
+                    : T + len_s]
+        return result
+
+    # -- decode + emit ---------------------------------------------------------
+
+    def mpe2note(self, *args, **kwargs):
+        from nylon_amt_tpu.infer.decode import mpe2note
+
+        return mpe2note(self.config, *args, **kwargs)
+
+    def note2midi(self, notes: list[dict], path: str) -> None:
+        from nylon_amt_tpu.midi.smf import write_notes
+
+        write_notes(path, notes)

@@ -1,0 +1,127 @@
+"""Orbax checkpointing with the reference's (epoch, div) cadence.
+
+The reference writes ``model_{epoch:03d}_{div:03d}.dat`` with model/optimizer/
+scheduler state plus RNG, and tracks ``best_model`` separately
+(``m_training.py:371-420``). Here: one Orbax directory per (epoch, div)
+containing the jax pytrees, a JSON sidecar for host state (scheduler, best
+tracking, numpy shuffle RNG), and a ``best`` pointer file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _tag(epoch: int, div: int) -> str:
+    return f"model_{epoch:03d}_{div:03d}"
+
+
+class CheckpointManager:
+    def __init__(self, directory: str):
+        import atexit
+
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+        # Flush orbax's background threads before interpreter teardown;
+        # otherwise a save racing shutdown raises "cannot schedule new
+        # futures after interpreter shutdown".
+        atexit.register(self.close)
+
+    def close(self) -> None:
+        try:
+            self._ckptr.close()
+        except Exception:
+            pass
+
+    # -- save ---------------------------------------------------------------
+
+    def save(self, epoch: int, div: int, state, host_state: dict,
+             is_best: bool = False) -> str:
+        """Persist device state (params/opt_state/step) + host-side JSON."""
+        path = os.path.join(self.directory, _tag(epoch, div))
+        tree = {"params": state.params, "opt_state": state.opt_state,
+                "step": state.step}
+        self._ckptr.save(os.path.join(path, "state"), tree, force=True)
+        # StandardCheckpointer saves asynchronously; block so the checkpoint
+        # is durable when save() returns (the reference's torch.save is sync).
+        self._ckptr.wait_until_finished()
+        with open(os.path.join(path, "host.json"), "w", encoding="utf-8") as f:
+            json.dump(host_state, f, indent=2)
+        if is_best:
+            with open(os.path.join(self.directory, "best_epoch.txt"), "w") as f:
+                f.write(f"epoch: {epoch}, div: {div}\n")
+            with open(os.path.join(self.directory, "best.json"), "w") as f:
+                json.dump({"epoch": epoch, "div": div}, f)
+        return path
+
+    # -- restore --------------------------------------------------------------
+
+    def restore(self, epoch: int, div: int, state) -> tuple[Any, dict]:
+        """Restore into the structure of ``state``; returns (state, host)."""
+        path = os.path.join(self.directory, _tag(epoch, div))
+        template = {"params": state.params, "opt_state": state.opt_state,
+                    "step": state.step}
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
+                                          template)
+        tree = self._ckptr.restore(os.path.join(path, "state"), abstract)
+        with open(os.path.join(path, "host.json"), "r", encoding="utf-8") as f:
+            host = json.load(f)
+        new_state = state.replace(params=tree["params"],
+                                  opt_state=tree["opt_state"],
+                                  step=tree["step"])
+        return new_state, host
+
+    def best_tag(self) -> tuple[int, int] | None:
+        p = os.path.join(self.directory, "best.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            d = json.load(f)
+        return d["epoch"], d["div"]
+
+    def exists(self, epoch: int, div: int) -> bool:
+        return os.path.isdir(os.path.join(self.directory, _tag(epoch, div)))
+
+    def prune(self, keep: list[tuple[int, int]]) -> None:
+        """Delete checkpoints not in ``keep`` (disk hygiene for long runs)."""
+        tags = {_tag(e, d) for e, d in keep}
+        for name in os.listdir(self.directory):
+            if name.startswith("model_") and name not in tags:
+                shutil.rmtree(os.path.join(self.directory, name),
+                              ignore_errors=True)
+
+
+def load_params(directory: str, epoch: int | None = None,
+                div: int | None = None) -> Any:
+    """Load just the params tree for inference.
+
+    Without (epoch, div), follows the ``best.json`` pointer (the reference's
+    ``best_model.pkl`` analog — ``m_training.py:394-420``).
+    """
+    mgr = CheckpointManager(directory)
+    if epoch is None or div is None:
+        tag = mgr.best_tag()
+        if tag is None:
+            raise FileNotFoundError(f"no best checkpoint recorded in {directory}")
+        epoch, div = tag
+    path = os.path.abspath(os.path.join(directory, _tag(epoch, div), "state"))
+    tree = ocp.StandardCheckpointer().restore(path)
+    return jax.tree_util.tree_map(jax.numpy.asarray, tree["params"])
+
+
+def rng_state_to_json(rng: np.random.Generator) -> dict:
+    return rng.bit_generator.state
+
+
+def rng_state_from_json(state: dict) -> np.random.Generator:
+    gen = np.random.default_rng()
+    gen.bit_generator.state = state
+    return gen

@@ -1,0 +1,200 @@
+"""The training loop (reference ``m_training.py:300-477`` flow).
+
+Per (epoch, div): train over the shard -> validate -> checkpoint + best
+tracking -> append ``performance.json`` -> plateau-scheduler step on the
+validation loss. After all epochs, an optional test pass computes note-level
+P/R/F1 (the reference's ``valid(..., metrics=True)`` — ``train.py:178-251``).
+
+TPU specifics: the step is jitted once and reused across shards (static
+shapes via batch padding); batches stream through an async two-deep
+host->device pipeline; under a mesh, batches are sharded on the data axis
+and XLA reduces gradients over ICI.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import time
+from typing import Callable
+
+import jax
+import numpy as np
+
+from nylon_amt_tpu.config import Config
+from nylon_amt_tpu.data.windows import WindowDataset
+from nylon_amt_tpu.parallel.mesh import shard_batch, shard_params
+from nylon_amt_tpu.train.checkpoint import CheckpointManager, rng_state_to_json
+from nylon_amt_tpu.train.plateau import ReduceLROnPlateau
+from nylon_amt_tpu.train.step import (
+    TrainState,
+    create_train_state,
+    get_learning_rate,
+    make_eval_step,
+    make_train_step,
+    set_learning_rate,
+)
+from nylon_amt_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+DatasetProvider = Callable[[str, int], WindowDataset]
+
+
+class Trainer:
+    """Orchestrates the (epoch, div) training schedule."""
+
+    def __init__(self, config: Config, out_dir: str, mesh=None):
+        self.config = config
+        self.out_dir = out_dir
+        self.mesh = mesh
+        os.makedirs(out_dir, exist_ok=True)
+        self.ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"))
+        self.train_step = make_train_step(config)
+        self.eval_step = make_eval_step(config)
+        self.scheduler = ReduceLROnPlateau(
+            lr=config.train.lr, factor=config.train.plateau_factor,
+            patience=config.train.plateau_patience)
+        self.performance = {"loss_train": [], "loss_valid": [],
+                            "datetime": [], "lr": []}
+        self.best_loss_valid = float("inf")
+        self.best_epoch = -1
+        self.best_div = -1
+
+    # -- single-shard epochs -------------------------------------------------
+
+    def _put(self, batch: dict) -> dict:
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return batch
+
+    def train_epoch(self, state: TrainState, ds: WindowDataset,
+                    rng: np.random.Generator,
+                    dropout_rng: jax.Array) -> tuple[TrainState, float]:
+        bs = self.config.train.batch_size
+        total, n = 0.0, 0
+        for batch in ds.batches(bs, shuffle=True, rng=rng, pad_to_batch=True):
+            state, metrics = self.train_step(state, self._put(batch),
+                                             dropout_rng)
+            total += float(metrics["loss"])
+            n += 1
+        return state, total / max(n, 1)
+
+    def valid_epoch(self, state: TrainState, ds: WindowDataset) -> tuple[float, int]:
+        bs = self.config.train.batch_size
+        total, n = 0.0, 0
+        for batch in ds.batches(bs, shuffle=False, pad_to_batch=True):
+            metrics = self.eval_step(state, self._put(batch))
+            total += float(metrics["loss"])
+            n += 1
+        return total, n
+
+    # -- full fit -------------------------------------------------------------
+
+    def fit(
+        self,
+        provider: DatasetProvider,
+        state: TrainState | None = None,
+        resume: tuple[int, int] | None = None,
+        metrics_fn: Callable | None = None,
+    ) -> TrainState:
+        cfg = self.config
+        t = cfg.train
+        rng = np.random.default_rng(t.seed)
+        dropout_rng = jax.random.key(t.seed)
+
+        if state is None:
+            state = create_train_state(cfg, jax.random.key(t.seed),
+                                       batch_size=t.batch_size)
+        if self.mesh is not None:
+            state = state.replace(params=shard_params(state.params, self.mesh))
+
+        self._write_manifest(state)
+
+        epoch_start, div_start = 0, 0
+        if resume is not None:
+            state, host = self.ckpt.restore(*resume, state)
+            self.scheduler.load_state_dict(host["scheduler"])
+            self.best_loss_valid = host["best_loss_valid"]
+            self.best_epoch, self.best_div = host["best_epoch"], host["best_div"]
+            self.performance = host["performance"]
+            rng.bit_generator.state = host["np_rng"]
+            epoch_start, div_start = resume
+            div_start += 1
+            if div_start >= t.n_div_train:
+                epoch_start += 1
+                div_start = 0
+
+        valid_shards = [provider("valid", d) for d in range(t.n_div_valid)]
+
+        for epoch in range(epoch_start, t.epochs):
+            for div in range(div_start, t.n_div_train):
+                tic = time.time()
+                ds_train = provider("train", div)
+                state, loss_train = self.train_epoch(state, ds_train, rng,
+                                                     dropout_rng)
+
+                loss_valid, n_valid = 0.0, 0
+                for vs in valid_shards:
+                    lv, nv = self.valid_epoch(state, vs)
+                    loss_valid += lv
+                    n_valid += nv
+                loss_valid /= max(n_valid, 1)
+
+                is_best = loss_valid < self.best_loss_valid
+                if is_best:
+                    self.best_loss_valid = loss_valid
+                    self.best_epoch, self.best_div = epoch, div
+
+                self.performance["loss_train"].append(loss_train)
+                self.performance["loss_valid"].append(loss_valid)
+                self.performance["datetime"].append(
+                    datetime.datetime.now().isoformat())
+                self.performance["lr"].append(self.scheduler.lr)
+                self.performance.update(
+                    current_epoch=epoch, current_div=div,
+                    best_epoch=self.best_epoch, best_div=self.best_div,
+                    best_loss_valid=self.best_loss_valid)
+                with open(os.path.join(self.out_dir, "performance.json"), "w",
+                          encoding="utf-8") as f:
+                    json.dump(self.performance, f, indent=4, sort_keys=True)
+
+                host = {"scheduler": self.scheduler.state_dict(),
+                        "best_loss_valid": self.best_loss_valid,
+                        "best_epoch": self.best_epoch,
+                        "best_div": self.best_div,
+                        "performance": self.performance,
+                        "np_rng": rng_state_to_json(rng),
+                        "loss_train": loss_train, "loss_valid": loss_valid}
+                self.ckpt.save(epoch, div, state, host, is_best=is_best)
+
+                if self.scheduler.step(loss_valid):
+                    state = state.replace(opt_state=set_learning_rate(
+                        state.opt_state, self.scheduler.lr))
+                    log.info("plateau: lr reduced to %g", self.scheduler.lr)
+
+                log.info("[epoch %03d div %03d] train %.5f valid %.5f "
+                         "(%.1fs, lr %g)", epoch, div, loss_train, loss_valid,
+                         time.time() - tic, self.scheduler.lr)
+            div_start = 0
+
+        if metrics_fn is not None:
+            test_shards = [provider("test", d) for d in range(t.n_div_test)]
+            results = metrics_fn(state, test_shards)
+            with open(os.path.join(self.out_dir, "test_performance.json"), "w",
+                      encoding="utf-8") as f:
+                json.dump(results, f, indent=4)
+        return state
+
+    def _write_manifest(self, state: TrainState) -> None:
+        """Run manifest (reference ``parameter.json`` — m_training.py:162-208)."""
+        n_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree_util.tree_leaves(state.params))
+        manifest = {"config": self.config.to_dict(), "parameters": n_params,
+                    "d_output": self.out_dir,
+                    "devices": [str(d) for d in jax.devices()],
+                    "mesh": str(self.mesh) if self.mesh else None}
+        with open(os.path.join(self.out_dir, "parameter.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump(manifest, f, indent=4)

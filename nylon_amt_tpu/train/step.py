@@ -1,0 +1,158 @@
+"""Jitted train/eval steps and the loss.
+
+Loss composition mirrors the reference (``training/train.py:141-153`` +
+``m_training.py:149-157``): per head family (A = stage-1 "freq", B = stage-2
+"time"), BCE on onset/offset/mpe plus cross-entropy on the 128-class velocity,
+summed, then ``weight_A * loss_A + weight_B * loss_B``.
+
+Documented divergence: the reference applies ``nn.BCELoss`` to sigmoid
+outputs; we keep the heads as logits and use sigmoid-BCE-with-logits (optax)
+— same optimum, numerically stable on TPU (SURVEY.md §7 hard-part 3).
+
+Batches may carry a ``valid`` row mask (static-shape padding of the last
+batch); masked rows contribute zero loss and the mean divides by the number
+of valid rows only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from nylon_amt_tpu.config import Config
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, opt_state = self.tx.update(grads, self.opt_state, self.params)
+        params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=params,
+                            opt_state=opt_state)
+
+
+def make_optimizer(config: Config) -> optax.GradientTransformation:
+    """Adam (torch defaults: b1=.9 b2=.999 eps=1e-8 — ``m_training.py:146``),
+    with a runtime-adjustable learning rate for the plateau scheduler and
+    optional global-norm clipping (the reference parses ``-clip`` but never
+    uses it; we implement it for real, default off)."""
+    t = config.train
+
+    def make(learning_rate):
+        parts = []
+        if t.clip is not None:
+            parts.append(optax.clip_by_global_norm(t.clip))
+        parts.append(optax.adam(learning_rate, eps=1e-8))
+        return optax.chain(*parts)
+
+    return optax.inject_hyperparams(make)(learning_rate=t.lr)
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Update the injected learning rate (used on plateau reductions)."""
+    return opt_state._replace(
+        hyperparams={**opt_state.hyperparams,
+                     "learning_rate": jnp.asarray(lr, jnp.float32)})
+
+
+def get_learning_rate(opt_state) -> float:
+    return float(opt_state.hyperparams["learning_rate"])
+
+
+def loss_fn(
+    config: Config,
+    apply_fn: Callable,
+    params: Any,
+    batch: dict,
+    dropout_rng: jax.Array | None = None,
+) -> tuple[jnp.ndarray, dict]:
+    """Compute the weighted 8-term loss. Returns ``(loss, metrics)``."""
+    deterministic = dropout_rng is None
+    rngs = None if deterministic else {"dropout": dropout_rng}
+    out = apply_fn({"params": params}, batch["spec"],
+                   deterministic=deterministic, rngs=rngs)
+
+    valid = batch.get("valid")
+    B = batch["spec"].shape[0]
+    if valid is None:
+        valid = jnp.ones((B,), jnp.float32)
+    # Per-row weights; normalizer counts valid rows (matching per-element
+    # mean over valid rows).
+    denom = jnp.maximum(valid.sum(), 1.0)
+
+    def bce(logits, targets):
+        per = optax.sigmoid_binary_cross_entropy(logits, targets)
+        per = per.mean(axis=tuple(range(1, per.ndim)))        # mean per row
+        return (per * valid).sum() / denom
+
+    def ce(logits, labels):
+        per = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        per = per.mean(axis=tuple(range(1, per.ndim)))
+        return (per * valid).sum() / denom
+
+    metrics = {}
+    totals = {}
+    for fam in ("A", "B"):
+        l_on = bce(out[f"onset_{fam}"], batch["onset"])
+        l_off = bce(out[f"offset_{fam}"], batch["offset"])
+        l_mpe = bce(out[f"mpe_{fam}"], batch["mpe"])
+        l_vel = ce(out[f"velocity_{fam}"], batch["velocity"])
+        totals[fam] = l_on + l_off + l_mpe + l_vel
+        metrics.update({f"loss_onset_{fam}": l_on, f"loss_offset_{fam}": l_off,
+                        f"loss_mpe_{fam}": l_mpe, f"loss_velocity_{fam}": l_vel})
+
+    loss = config.train.weight_A * totals["A"] + config.train.weight_B * totals["B"]
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def make_train_step(config: Config):
+    """Build the jitted train step: ``(state, batch, dropout_rng) -> (state,
+    metrics)``.
+
+    Under a mesh, shard ``batch`` on the data axis and leave params
+    replicated/TP-sharded: XLA inserts the gradient reductions.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: dict, dropout_rng: jax.Array):
+        rng = jax.random.fold_in(dropout_rng, state.step)
+        grad_fn = jax.value_and_grad(
+            lambda p: loss_fn(config, state.apply_fn, p, batch, rng),
+            has_aux=True)
+        (_, metrics), grads = grad_fn(state.params)
+        return state.apply_gradients(grads), metrics
+
+    return train_step
+
+
+def make_eval_step(config: Config):
+    """Build the jitted validation-loss step."""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: dict) -> dict:
+        _, metrics = loss_fn(config, state.apply_fn, state.params, batch)
+        return metrics
+
+    return eval_step
+
+
+def create_train_state(config: Config, rng: jax.Array,
+                       batch_size: int = 1) -> TrainState:
+    from nylon_amt_tpu.models.hft import build_model, init_params
+
+    model = build_model(config)
+    params = init_params(config, rng, batch_size)
+    tx = make_optimizer(config)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params), tx=tx, apply_fn=model.apply)
