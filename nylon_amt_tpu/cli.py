@@ -105,9 +105,15 @@ def cmd_train(args) -> int:
         arrays = SplitArrays.load(args.dataset, split, shard=shard)
         return WindowDataset(arrays, config, n_slice=t.n_slice)
 
+    metrics_fn = None
+    if args.test_metrics:
+        from nylon_amt_tpu.train.metrics import make_note_metrics_fn
+
+        metrics_fn = make_note_metrics_fn(config)
+
     trainer = Trainer(config, args.out, mesh=mesh)
     resume = tuple(args.resume) if args.resume else None
-    trainer.fit(provider, resume=resume)
+    trainer.fit(provider, resume=resume, metrics_fn=metrics_fn)
     print(f"training done; best valid loss {trainer.best_loss_valid:.5f} "
           f"(epoch {trainer.best_epoch} div {trainer.best_div})")
     return 0
@@ -226,6 +232,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--resume", nargs=2, type=int, metavar=("EPOCH", "DIV"))
     t.add_argument("--n-data", type=int, help="data-parallel mesh size")
     t.add_argument("--n-model", type=int, default=1, help="TP mesh size")
+    t.add_argument("--test-metrics", action="store_true",
+                   help="run the final test pass with note P/R/F1")
     t.set_defaults(fn=cmd_train)
 
     r = sub.add_parser("transcribe", help="WAV -> MIDI")

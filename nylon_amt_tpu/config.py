@@ -112,9 +112,14 @@ class ModelConfig:
     # {"cafreq_satime" (main), "cafreq", "linear_satime"}.
     enc_alg: str = "cnntime_safreq"
     dec_alg: str = "cafreq_satime"
-    # TPU-first knob, no reference analog: dtype used for matmul/attention
-    # compute. Params are always stored in float32.
+    # TPU-first knobs, no reference analog: dtype used for matmul/attention
+    # compute (params are always stored in float32), the attention kernel
+    # ("auto" = fused Pallas on TPU, einsum elsewhere), and whether the
+    # decoder materializes its last cross-attention map on the Pallas path
+    # (the XLA path returns it for free, as the reference does).
     compute_dtype: str = "float32"
+    attention_impl: str = "auto"
+    return_attention: bool = False
 
     @classmethod
     def paper_scale(cls) -> "ModelConfig":

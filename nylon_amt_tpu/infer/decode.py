@@ -75,8 +75,13 @@ def mpe2note(
     thred_mpe: float = 0.5,
     mode_velocity: str = "ignore_zero",
     mode_offset: str = "shorter",
+    use_native: bool | None = None,
 ) -> list[dict]:
-    """Decode posterior matrices ``[T, num_note]`` into note events."""
+    """Decode posterior matrices ``[T, num_note]`` into note events.
+
+    Uses the C++ decoder (``native/decoder.cpp``) when available; identical
+    rules, interpreter-free inner loop. ``use_native=False`` forces Python.
+    """
     if hasattr(config, "midi"):
         note_min = config.midi.note_min
         num_note = config.midi.num_note
@@ -91,6 +96,15 @@ def mpe2note(
     a_mpe = np.asarray(a_mpe)
     a_velocity = np.asarray(a_velocity)
     T = a_mpe.shape[0]
+
+    if use_native is not False:
+        notes = _mpe2note_native(
+            a_onset, a_offset, a_mpe, a_velocity, thred_onset, thred_offset,
+            thred_mpe, mode_velocity, mode_offset, hop_sec, note_min)
+        if notes is not None:
+            return notes
+        if use_native:
+            raise RuntimeError("native decoder requested but unavailable")
 
     notes: list[dict] = []
     for j in range(num_note):
@@ -158,5 +172,54 @@ def mpe2note(
                     and notes[-1]["onset"] < notes[-2]["offset"]):
                 notes[-2]["offset"] = notes[-1]["onset"]
 
+    return sorted(sorted(notes, key=lambda x: x["pitch"]),
+                  key=lambda x: x["onset"])
+
+
+_MODE_OFFSET = {"shorter": 0, "longer": 1, "offset": 2}
+
+
+def _mpe2note_native(a_onset, a_offset, a_mpe, a_velocity, thred_onset,
+                     thred_offset, thred_mpe, mode_velocity, mode_offset,
+                     hop_sec, note_min) -> list[dict] | None:
+    """ctypes bridge to native/decoder.cpp; None when lib unavailable."""
+    import ctypes
+
+    from nylon_amt_tpu.native import load_decoder_library
+
+    lib = load_decoder_library()
+    if lib is None:
+        return None
+    onset = np.ascontiguousarray(a_onset, dtype=np.float32)
+    offset = np.ascontiguousarray(a_offset, dtype=np.float32)
+    mpe = np.ascontiguousarray(a_mpe, dtype=np.float32)
+    velocity = np.ascontiguousarray(a_velocity, dtype=np.int8)
+    T, P = mpe.shape
+
+    cap = max(1024, int((onset >= thred_onset).sum()) + 16)
+    while True:
+        out_pitch = np.empty(cap, np.int32)
+        out_onset = np.empty(cap, np.float64)
+        out_offset = np.empty(cap, np.float64)
+        out_vel = np.empty(cap, np.int32)
+        n = lib.nylon_decode_notes(
+            onset.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            offset.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            mpe.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            velocity.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            T, P, thred_onset, thred_offset, thred_mpe,
+            _MODE_OFFSET[mode_offset],
+            1 if mode_velocity == "ignore_zero" else 0,
+            hop_sec, note_min, cap,
+            out_pitch.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            out_onset.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            out_offset.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            out_vel.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+        if n >= 0:
+            break
+        cap = -n * 2
+    notes = [{"pitch": int(out_pitch[i]), "onset": float(out_onset[i]),
+              "offset": float(out_offset[i]), "velocity": int(out_vel[i])}
+             for i in range(n)]
     return sorted(sorted(notes, key=lambda x: x["pitch"]),
                   key=lambda x: x["onset"])

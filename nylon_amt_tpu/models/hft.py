@@ -57,36 +57,106 @@ def _dtype(name: str):
 
 
 class MultiHeadAttention(nn.Module):
-    """Vanilla scaled-dot-product MHA (ref ``MultiHeadAttentionLayer:308-360``).
+    """Scaled-dot-product MHA (ref ``MultiHeadAttentionLayer:308-360``).
 
     Returns ``(out, attention_weights)``; dropout acts on the weights.
+
+    ``impl`` selects the compute path:
+
+    * ``"xla"`` — einsum QK^T -> softmax -> PV (always returns weights);
+    * ``"pallas"`` — the fused one-pass VMEM kernel
+      (:mod:`nylon_amt_tpu.ops.attention`); scores never touch HBM. Weights
+      are only produced when ``need_weights`` (forward-only). When attention
+      dropout is active (training, rate > 0) the XLA path is used — the
+      reference drops out the attention matrix itself
+      (``model_spec2midi.py:348``).
     """
 
     hid_dim: int
     n_heads: int
     dropout: float
     dtype: Any = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
-    def __call__(self, query, key, value, deterministic: bool = True):
+    def __call__(self, query, key, value, deterministic: bool = True,
+                 need_weights: bool = True):
         B = query.shape[0]
-        head_dim = self.hid_dim // self.n_heads
-        dense = lambda name: nn.Dense(self.hid_dim, name=name, dtype=self.dtype)
+        H = self.n_heads
+        head_dim = self.hid_dim // H
 
-        q = dense("fc_q")(query).reshape(B, -1, self.n_heads, head_dim)
-        k = dense("fc_k")(key).reshape(B, -1, self.n_heads, head_dim)
-        v = dense("fc_v")(value).reshape(B, -1, self.n_heads, head_dim)
+        # Module-owned projection params (torch Linear layout transposed).
+        # Owning them (vs nn.Dense children) lets the Pallas path project
+        # straight into the head-blocked [B, H, L, D] layout with the
+        # transpose fused into the matmul — explicit transposes of Q/K/V/O
+        # around the kernel would cost more HBM traffic than the fused
+        # attention saves.
+        def proj_params(name):
+            w = self.param(f"{name}_kernel", nn.initializers.xavier_uniform(),
+                           (self.hid_dim, self.hid_dim))
+            b = self.param(f"{name}_bias", nn.initializers.zeros,
+                           (self.hid_dim,))
+            return w, b
 
-        # [B, heads, q_len, k_len]; accumulate in f32 regardless of dtype.
-        energy = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        energy = energy / jnp.sqrt(jnp.float32(head_dim))
-        attn = jax.nn.softmax(energy, axis=-1)
-        attn_d = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn_d.astype(self.dtype), v,
-                         preferred_element_type=jnp.float32)
-        out = out.astype(self.dtype).reshape(B, -1, self.hid_dim)
-        return dense("fc_o")(out), attn
+        wq, bq = proj_params("fc_q")
+        wk, bk = proj_params("fc_k")
+        wv, bv = proj_params("fc_v")
+        wo, bo = proj_params("fc_o")
+        dt = self.dtype
+
+        def proj_flat(x, w, b):
+            y = jnp.dot(x.astype(dt), w.astype(dt),
+                        preferred_element_type=jnp.float32).astype(dt)
+            return y + b.astype(dt)
+
+        dropout_active = (not deterministic) and self.dropout > 0.0
+        if self.impl == "pallas" and not dropout_active:
+            from nylon_amt_tpu.ops.attention import (
+                fused_mha,
+                fused_mha_with_probs,
+                on_tpu,
+            )
+
+            interpret = not on_tpu()
+            scale = 1.0 / float(head_dim) ** 0.5
+
+            # The kernel consumes the projections' natural flat [B, L, H*D]
+            # layout and splits heads by lane-slicing in VMEM — no transposes.
+            qf = proj_flat(query, wq, bq)
+            kf = proj_flat(key, wk, bk)
+            vf = proj_flat(value, wv, bv)
+            attn = None
+            if need_weights:
+                out_f, attn = fused_mha_with_probs(
+                    jax.lax.stop_gradient(qf), jax.lax.stop_gradient(kf),
+                    jax.lax.stop_gradient(vf), H, scale, interpret)
+                if not deterministic:
+                    out_f = fused_mha(qf, kf, vf, H, scale, interpret)
+            else:
+                out_f = fused_mha(qf, kf, vf, H, scale, interpret)
+            out = jnp.dot(out_f, wo.astype(dt),
+                          preferred_element_type=jnp.float32).astype(dt)
+            out = out + bo.astype(dt)
+        else:
+            def proj(x, w, b):
+                return proj_flat(x, w, b).reshape(B, -1, H, head_dim)
+
+            q = proj(query, wq, bq)
+            k = proj(key, wk, bk)
+            v = proj(value, wv, bv)
+            # [B, heads, q_len, k_len]; accumulate in f32.
+            energy = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            energy = energy / jnp.sqrt(jnp.float32(head_dim))
+            attn = jax.nn.softmax(energy, axis=-1)
+            attn_d = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            o = jnp.einsum("bhqk,bkhd->bqhd", attn_d.astype(dt), v,
+                           preferred_element_type=jnp.float32)
+            o = o.astype(dt).reshape(B, -1, self.hid_dim)
+            out = jnp.dot(o, wo.astype(dt),
+                          preferred_element_type=jnp.float32).astype(dt)
+            out = out + bo.astype(dt)
+        return out, attn
 
 
 class FeedForward(nn.Module):
@@ -113,14 +183,16 @@ class EncoderLayer(nn.Module):
     pf_dim: int
     dropout: float
     dtype: Any = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, src, deterministic: bool = True):
         ln = nn.LayerNorm(name="layer_norm")       # ONE instance, used twice
         drop = nn.Dropout(self.dropout)
         attn_out, _ = MultiHeadAttention(
-            self.hid_dim, self.n_heads, self.dropout, self.dtype,
-            name="self_attention")(src, src, src, deterministic)
+            self.hid_dim, self.n_heads, self.dropout, self.dtype, self.impl,
+            name="self_attention")(src, src, src, deterministic,
+                                   need_weights=False)
         src = ln(src + drop(attn_out, deterministic=deterministic))
         ff = FeedForward(self.hid_dim, self.pf_dim, self.dropout, self.dtype,
                          name="positionwise_feedforward")(src, deterministic)
@@ -135,14 +207,17 @@ class DecoderLayerZero(nn.Module):
     pf_dim: int
     dropout: float
     dtype: Any = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
-    def __call__(self, enc_src, trg, deterministic: bool = True):
+    def __call__(self, enc_src, trg, deterministic: bool = True,
+                 need_weights: bool = True):
         ln = nn.LayerNorm(name="layer_norm")
         drop = nn.Dropout(self.dropout)
         attn_out, attention = MultiHeadAttention(
-            self.hid_dim, self.n_heads, self.dropout, self.dtype,
-            name="encoder_attention")(trg, enc_src, enc_src, deterministic)
+            self.hid_dim, self.n_heads, self.dropout, self.dtype, self.impl,
+            name="encoder_attention")(trg, enc_src, enc_src, deterministic,
+                                      need_weights=need_weights)
         trg = ln(trg + drop(attn_out, deterministic=deterministic))
         ff = FeedForward(self.hid_dim, self.pf_dim, self.dropout, self.dtype,
                          name="positionwise_feedforward")(trg, deterministic)
@@ -158,18 +233,22 @@ class DecoderLayer(nn.Module):
     pf_dim: int
     dropout: float
     dtype: Any = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
-    def __call__(self, enc_src, trg, deterministic: bool = True):
+    def __call__(self, enc_src, trg, deterministic: bool = True,
+                 need_weights: bool = True):
         ln = nn.LayerNorm(name="layer_norm")
         drop = nn.Dropout(self.dropout)
         sa_out, _ = MultiHeadAttention(
-            self.hid_dim, self.n_heads, self.dropout, self.dtype,
-            name="self_attention")(trg, trg, trg, deterministic)
+            self.hid_dim, self.n_heads, self.dropout, self.dtype, self.impl,
+            name="self_attention")(trg, trg, trg, deterministic,
+                                   need_weights=False)
         trg = ln(trg + drop(sa_out, deterministic=deterministic))
         ca_out, attention = MultiHeadAttention(
-            self.hid_dim, self.n_heads, self.dropout, self.dtype,
-            name="encoder_attention")(trg, enc_src, enc_src, deterministic)
+            self.hid_dim, self.n_heads, self.dropout, self.dtype, self.impl,
+            name="encoder_attention")(trg, enc_src, enc_src, deterministic,
+                                      need_weights=need_weights)
         trg = ln(trg + drop(ca_out, deterministic=deterministic))
         ff = FeedForward(self.hid_dim, self.pf_dim, self.dropout, self.dtype,
                          name="positionwise_feedforward")(trg, deterministic)
@@ -194,6 +273,7 @@ class FreqEncoder(nn.Module):
     pf_dim: int
     dropout: float
     dtype: Any = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, spec_in, deterministic: bool = True):
@@ -242,7 +322,7 @@ class FreqEncoder(nn.Module):
 
         for i in range(self.n_layers):
             h = EncoderLayer(self.hid_dim, self.n_heads, self.pf_dim,
-                             self.dropout, self.dtype,
+                             self.dropout, self.dtype, self.impl,
                              name=f"layers_freq_{i}")(h, deterministic)
         return h.reshape(B, self.n_frame, self.n_bin, self.hid_dim)
 
@@ -265,6 +345,9 @@ class Decoder(nn.Module):
     pf_dim: int
     dropout: float
     dtype: Any = jnp.float32
+    impl: str = "xla"
+    return_attention: bool = True
+    stage2: bool = True  # False = stage-1 only ("cafreq" ablation decoder)
 
     @nn.compact
     def __call__(self, enc_spec, deterministic: bool = True):
@@ -276,15 +359,23 @@ class Decoder(nn.Module):
         trg = jnp.broadcast_to(note_q(jnp.arange(self.n_note))[None],
                                (B * self.n_frame, self.n_note, self.hid_dim)
                                ).astype(self.dtype)
+        # Only the LAST stage-1 layer's attention map is returned (ref
+        # :164-165); earlier layers never need the weights.
+        want = self.return_attention
         trg, attention = DecoderLayerZero(
             self.hid_dim, self.n_heads, self.pf_dim, self.dropout, self.dtype,
-            name="layer_zero_freq")(enc, trg, deterministic)
+            self.impl, name="layer_zero_freq")(
+                enc, trg, deterministic,
+                need_weights=want and self.n_layers == 1)
         for i in range(self.n_layers - 1):
             trg, attention = DecoderLayer(
                 self.hid_dim, self.n_heads, self.pf_dim, self.dropout,
-                self.dtype, name=f"layers_freq_{i}")(enc, trg, deterministic)
-        attention = attention.reshape(B, self.n_frame, self.n_heads,
-                                      self.n_note, self.n_bin)
+                self.dtype, self.impl, name=f"layers_freq_{i}")(
+                    enc, trg, deterministic,
+                    need_weights=want and i == self.n_layers - 2)
+        if attention is not None:
+            attention = attention.reshape(B, self.n_frame, self.n_heads,
+                                          self.n_note, self.n_bin)
 
         def head(name, n_out=1):
             return nn.Dense(n_out, name=name, dtype=self.dtype)
@@ -298,8 +389,11 @@ class Decoder(nn.Module):
             "mpe_A": scalar_head("fc_mpe_freq", trg),
             "velocity_A": head("fc_velocity_freq", self.n_velocity)(trg)
                 .reshape(B, self.n_frame, self.n_note, self.n_velocity),
-            "attention": attention,
         }
+        if attention is not None:
+            out["attention"] = attention
+        if not self.stage2:
+            return out
 
         # ---- stage 2: SAtime ------------------------------------------------
         t = trg.reshape(B, self.n_frame, self.n_note, self.hid_dim)
@@ -312,7 +406,7 @@ class Decoder(nn.Module):
         t = nn.Dropout(self.dropout)(t, deterministic=deterministic)
         for i in range(self.n_layers):
             t = EncoderLayer(self.hid_dim, self.n_heads, self.pf_dim,
-                             self.dropout, self.dtype,
+                             self.dropout, self.dtype, self.impl,
                              name=f"layers_time_{i}")(t, deterministic)
 
         def scalar_head_t(name):
@@ -344,18 +438,27 @@ class HFT(nn.Module):
         cfg = self.config
         m = cfg.model
         dt = _dtype(m.compute_dtype)
+        impl = resolve_attention_impl(m.attention_impl)
         enc = FreqEncoder(
             n_margin=cfg.input.margin_b, n_frame=cfg.input.num_frame,
             n_bin=cfg.feature.n_bins, cnn_channel=m.cnn_channel,
             cnn_kernel=m.cnn_kernel, hid_dim=m.hid_dim, n_layers=m.enc_layer,
             n_heads=m.enc_head, pf_dim=m.pf_dim, dropout=m.dropout, dtype=dt,
-            name="encoder")(input_spec, deterministic)
+            impl=impl, name="encoder")(input_spec, deterministic)
         return Decoder(
             n_frame=cfg.input.num_frame, n_bin=cfg.feature.n_bins,
             n_note=cfg.midi.num_note, n_velocity=cfg.midi.num_velocity,
             hid_dim=m.hid_dim, n_layers=m.dec_layer, n_heads=m.dec_head,
-            pf_dim=m.pf_dim, dropout=m.dropout, dtype=dt,
+            pf_dim=m.pf_dim, dropout=m.dropout, dtype=dt, impl=impl,
+            return_attention=m.return_attention or impl == "xla",
             name="decoder")(enc, deterministic)
+
+
+def resolve_attention_impl(impl: str) -> str:
+    """"auto" -> the fused Pallas kernel on TPU, einsum elsewhere."""
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return impl
 
 
 def build_model(config: Config) -> HFT:

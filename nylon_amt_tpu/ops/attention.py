@@ -1,0 +1,192 @@
+"""Fused multi-head attention kernels (Pallas, TPU).
+
+The hFT model's three attention sites have short sequences (frequency axis
+256, note queries 88, time axis 128) but huge batch axes (windows x frames or
+windows x notes). The XLA path materializes the ``[batch, heads, Lq, Lk]``
+score/probability tensors in HBM — at paper scale that is ~39 GB of traffic
+per 32-window forward and dominates the runtime (HBM-bound).
+
+Because every K/V sequence fits in VMEM whole, the optimal TPU kernel is a
+**one-pass fused attention** (no online-softmax streaming needed). Layout is
+the key design decision: the kernel consumes Q/K/V in the **flat
+``[N, L, n_heads * head_dim]`` layout that the projection matmuls naturally
+produce**, and splits heads by lane-slicing inside the kernel. Folding heads
+into the batch dimension outside the kernel (the classic flash-attention
+layout) costs four HBM-round-trip transposes per attention call — measured
+to cost more than the fused kernel saves at these shapes. Per grid program:
+a block of N-rows is DMA'd once; for each head, ``S = QK^T * scale`` (MXU,
+bf16 in / f32 accumulate), a stable base-2 softmax with **deferred
+normalization** (the 1/l divide is applied to the ``[Lq, D]`` output instead
+of the ``[Lq, Lk]`` probabilities — the softmax is VPU-bound at D=64), and
+``O = P V``. Scores never touch HBM.
+
+A custom VJP recomputes ``P`` in-kernel (cheap at these sizes) and produces
+``dQ, dK, dV`` in one backward kernel, so training takes the same fused path.
+Dropout-on-probabilities (used by the reference during training) is not
+fused; callers fall back to the XLA path when attention dropout is active.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LOG2E = 1.4426950408889634
+
+
+def _pick_block_rows(n: int, lq: int, lk: int, hid: int,
+                     budget_mb: float = 4.0) -> int:
+    """N-rows per grid program, sized to a VMEM budget (with double
+    buffering and f32 score scratch in mind)."""
+    bytes_per_row = 2 * (2 * lq * hid + 2 * lk * hid) + 2 * 4 * lq * lk
+    bn = max(1, int(budget_mb * 1024 * 1024 / bytes_per_row))
+    while n % bn:
+        bn -= 1
+    return bn
+
+
+def _head_attention(qh, kh, vh, scale):
+    """One head's fused attention on VMEM blocks; returns (o_f32, inv_l)."""
+    s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    s = s * (scale * _LOG2E)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(qh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    return o, l, p
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_heads, p_ref=None):
+    head_dim = q_ref.shape[-1] // n_heads
+    for h in range(n_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        o, l, p = _head_attention(q_ref[:, :, sl], k_ref[:, :, sl],
+                                  v_ref[:, :, sl], scale)
+        o_ref[:, :, sl] = (o / l).astype(o_ref.dtype)
+        if p_ref is not None:
+            p_ref[:, h, :, :] = (p / l).astype(p_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                scale, n_heads):
+    head_dim = q_ref.shape[-1] // n_heads
+    for h in range(n_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q, k, v = q_ref[:, :, sl], k_ref[:, :, sl], v_ref[:, :, sl]
+        do = do_ref[:, :, sl]
+        dt = q.dtype
+        _, l, p = _head_attention(q, k, v, scale)
+        p = p / l
+        # dP = dO @ V^T ; dS = P * (dP - rowsum(dP * P))
+        dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        row = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - row)).astype(dt)
+        pt = p.astype(dt)
+        dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        dv = jax.lax.dot_general(pt, do, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _blk(bn, *rest):
+    return pl.BlockSpec((bn, *rest), lambda i: (i,) + (0,) * len(rest),
+                        memory_space=pltpu.VMEM)
+
+
+def _params(interpret):
+    return None if interpret else pltpu.CompilerParams(
+        dimension_semantics=("parallel",))
+
+
+def _fused_fwd(q, k, v, scale, n_heads, return_probs, interpret):
+    n, lq, hid = q.shape
+    lk = k.shape[1]
+    bn = _pick_block_rows(n, lq, lk, hid)
+    out_shape = [jax.ShapeDtypeStruct((n, lq, hid), q.dtype)]
+    out_specs = [_blk(bn, lq, hid)]
+    if return_probs:
+        out_shape.append(jax.ShapeDtypeStruct((n, n_heads, lq, lk),
+                                              jnp.float32))
+        out_specs.append(_blk(bn, n_heads, lq, lk))
+
+    def kernel(qr, kr, vr, orf, *rest):
+        _fwd_kernel(qr, kr, vr, orf, scale=scale, n_heads=n_heads,
+                    p_ref=rest[0] if rest else None)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bn,),
+        in_specs=[_blk(bn, lq, hid), _blk(bn, lk, hid), _blk(bn, lk, hid)],
+        out_specs=out_specs if return_probs else out_specs[0],
+        out_shape=out_shape if return_probs else out_shape[0],
+        interpret=interpret,
+        compiler_params=_params(interpret),
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_mha(q, k, v, n_heads: int, scale: float, interpret: bool = False):
+    """Fused MHA on flat layouts: ``q [N, Lq, H*D]``, ``k/v [N, Lk, H*D]``
+    -> ``[N, Lq, H*D]``."""
+    return _fused_fwd(q, k, v, scale, n_heads, False, interpret)
+
+
+def _mha_fwd(q, k, v, n_heads, scale, interpret):
+    return _fused_fwd(q, k, v, scale, n_heads, False, interpret), (q, k, v)
+
+
+def _mha_bwd(n_heads, scale, interpret, res, do):
+    q, k, v = res
+    n, lq, hid = q.shape
+    lk = k.shape[1]
+    bn = _pick_block_rows(n, lq, lk, hid)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, n_heads=n_heads),
+        grid=(n // bn,),
+        in_specs=[_blk(bn, lq, hid), _blk(bn, lk, hid), _blk(bn, lk, hid),
+                  _blk(bn, lq, hid)],
+        out_specs=[_blk(bn, lq, hid), _blk(bn, lk, hid), _blk(bn, lk, hid)],
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        interpret=interpret,
+        compiler_params=_params(interpret),
+    )(q, k, v, do)
+    return dq, dk, dv
+
+
+fused_mha.defvjp(_mha_fwd, _mha_bwd)
+
+
+def fused_mha_with_probs(q, k, v, n_heads: int, scale: float,
+                         interpret: bool = False):
+    """Forward-only variant that also returns the probabilities
+    ``[N, H, Lq, Lk]`` (the model returns the last cross-attention map —
+    reference ``model_spec2midi.py:164-165``). Not differentiable."""
+    return _fused_fwd(q, k, v, scale, n_heads, True, interpret)
+
+
+# Backwards-compatible single-head-folded API (used by tests/microbenches).
+def fused_attention(q, k, v, scale: float, interpret: bool = False):
+    return fused_mha(q, k, v, 1, scale, interpret)
+
+
+def fused_attention_with_probs(q, k, v, scale: float, interpret: bool = False):
+    out, p = fused_mha_with_probs(q, k, v, 1, scale, interpret)
+    return out, p[:, 0]
+
+
+def on_tpu() -> bool:
+    return jax.default_backend() == "tpu"

@@ -51,10 +51,10 @@ def batch_spec() -> P:
 # unmatched params are replicated.
 _TP_RULES: list[tuple[str, P]] = [
     # attention input projections: column-parallel (shard heads)
-    (r"(fc_q|fc_k|fc_v)/kernel$", P(None, MODEL_AXIS)),
-    (r"(fc_q|fc_k|fc_v)/bias$", P(MODEL_AXIS)),
+    (r"(fc_q|fc_k|fc_v)_kernel$", P(None, MODEL_AXIS)),
+    (r"(fc_q|fc_k|fc_v)_bias$", P(MODEL_AXIS)),
     # attention output projection: row-parallel
-    (r"fc_o/kernel$", P(MODEL_AXIS, None)),
+    (r"fc_o_kernel$", P(MODEL_AXIS, None)),
     # FFN up / down
     (r"positionwise_feedforward/fc_1/kernel$", P(None, MODEL_AXIS)),
     (r"positionwise_feedforward/fc_1/bias$", P(MODEL_AXIS)),

@@ -49,6 +49,8 @@ class CheckpointManager:
         path = os.path.join(self.directory, _tag(epoch, div))
         tree = {"params": state.params, "opt_state": state.opt_state,
                 "step": state.step}
+        if getattr(state, "batch_stats", None) is not None:
+            tree["batch_stats"] = state.batch_stats
         self._ckptr.save(os.path.join(path, "state"), tree, force=True)
         # StandardCheckpointer saves asynchronously; block so the checkpoint
         # is durable when save() returns (the reference's torch.save is sync).
@@ -69,6 +71,8 @@ class CheckpointManager:
         path = os.path.join(self.directory, _tag(epoch, div))
         template = {"params": state.params, "opt_state": state.opt_state,
                     "step": state.step}
+        if getattr(state, "batch_stats", None) is not None:
+            template["batch_stats"] = state.batch_stats
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
                                           template)
         tree = self._ckptr.restore(os.path.join(path, "state"), abstract)
@@ -76,7 +80,8 @@ class CheckpointManager:
             host = json.load(f)
         new_state = state.replace(params=tree["params"],
                                   opt_state=tree["opt_state"],
-                                  step=tree["step"])
+                                  step=tree["step"],
+                                  batch_stats=tree.get("batch_stats"))
         return new_state, host
 
     def best_tag(self) -> tuple[int, int] | None:

@@ -31,8 +31,12 @@ def _layer_rules(prefix_t: str, prefix_f: tuple, has_self: bool, has_cross: bool
         attn_blocks.append("encoder_attention")
     for blk in attn_blocks:
         for fc in ("fc_q", "fc_k", "fc_v", "fc_o"):
-            rules[f"{prefix_t}.{blk}.{fc}.weight"] = (prefix_f + (blk, fc, "kernel"), _TRANSPOSE)
-            rules[f"{prefix_t}.{blk}.{fc}.bias"] = (prefix_f + (blk, fc, "bias"), _DIRECT)
+            # MultiHeadAttention owns its projection params (flattened names)
+            # so the Pallas path can project into head-blocked layout.
+            rules[f"{prefix_t}.{blk}.{fc}.weight"] = (
+                prefix_f + (blk, f"{fc}_kernel"), _TRANSPOSE)
+            rules[f"{prefix_t}.{blk}.{fc}.bias"] = (
+                prefix_f + (blk, f"{fc}_bias"), _DIRECT)
     for fc in ("fc_1", "fc_2"):
         rules[f"{prefix_t}.positionwise_feedforward.{fc}.weight"] = (
             prefix_f + ("positionwise_feedforward", fc, "kernel"), _TRANSPOSE)
@@ -49,14 +53,49 @@ def _head_rules(prefix_t: str, prefix_f: tuple, names: list[str]):
     return rules
 
 
-def build_rules(enc_layers: int, dec_layers: int) -> dict:
-    """Full state_dict-key -> (flax path, transform) mapping for HFT."""
+def build_rules(enc_layers: int, dec_layers: int,
+                enc_alg: str = "cnntime_safreq",
+                dec_alg: str = "cafreq_satime") -> dict:
+    """Full state_dict-key -> (flax path, transform) mapping.
+
+    Covers the main model (``Model_SPEC2MIDI``) and the ablation grid
+    (``model_spec2midi_ablation.py``); ablation models use the same
+    ``encoder_spec2midi`` / ``decoder_spec2midi`` attribute names.
+    """
     r: dict[str, tuple] = {}
     e = "encoder_spec2midi"
-    r[f"{e}.conv.weight"] = (("encoder", "conv_kernel"), "conv")  # [C,1,1,k]->[C,k]
-    r[f"{e}.conv.bias"] = (("encoder", "conv_bias"), _DIRECT)
-    r[f"{e}.tok_embedding_freq.weight"] = (("encoder", "tok_embedding_kernel"), _TRANSPOSE)
-    r[f"{e}.tok_embedding_freq.bias"] = (("encoder", "tok_embedding_bias"), _DIRECT)
+    if enc_alg == "cnntime_safreq":
+        r[f"{e}.conv.weight"] = (("encoder", "conv_kernel"), "conv")  # [C,1,1,k]->[C,k]
+        r[f"{e}.conv.bias"] = (("encoder", "conv_bias"), _DIRECT)
+        r[f"{e}.tok_embedding_freq.weight"] = (
+            ("encoder", "tok_embedding_kernel"), _TRANSPOSE)
+        r[f"{e}.tok_embedding_freq.bias"] = (
+            ("encoder", "tok_embedding_bias"), _DIRECT)
+    elif enc_alg == "cnnblock_safreq":
+        # 4 conv blocks as nn.Sequential: indices 0/3 = Conv2d, 1/4 = BN.
+        for b in range(1, 5):
+            for seq_idx, conv_idx in ((0, 0), (3, 1)):
+                r[f"{e}.conv_{b}.{seq_idx}.weight"] = (
+                    ("encoder", f"conv_block_{b}", f"conv_{conv_idx}",
+                     "kernel"), "conv2d")
+                r[f"{e}.conv_{b}.{seq_idx}.bias"] = (
+                    ("encoder", f"conv_block_{b}", f"conv_{conv_idx}",
+                     "bias"), _DIRECT)
+            for seq_idx, bn_idx in ((1, 0), (4, 1)):
+                base = ("encoder", f"conv_block_{b}", f"bn_{bn_idx}")
+                r[f"{e}.conv_{b}.{seq_idx}.weight"] = (base + ("scale",), _DIRECT)
+                r[f"{e}.conv_{b}.{seq_idx}.bias"] = (base + ("bias",), _DIRECT)
+                r[f"{e}.conv_{b}.{seq_idx}.running_mean"] = (
+                    base + ("mean",), "batch_stat")
+                r[f"{e}.conv_{b}.{seq_idx}.running_var"] = (
+                    base + ("var",), "batch_stat")
+                r[f"{e}.conv_{b}.{seq_idx}.num_batches_tracked"] = (None, "skip")
+        r[f"{e}.tok_embedding_freq.weight"] = (
+            ("encoder", "tok_embedding_freq", "kernel"), _TRANSPOSE)
+        r[f"{e}.tok_embedding_freq.bias"] = (
+            ("encoder", "tok_embedding_freq", "bias"), _DIRECT)
+    else:
+        raise ValueError(f"unknown enc_alg {enc_alg!r}")
     r[f"{e}.pos_embedding_freq.weight"] = (
         ("encoder", "pos_embedding_freq", "embedding"), _DIRECT)
     for i in range(enc_layers):
@@ -65,24 +104,36 @@ def build_rules(enc_layers: int, dec_layers: int) -> dict:
                               has_self=True, has_cross=False))
 
     d = "decoder_spec2midi"
-    r[f"{d}.pos_embedding_freq.weight"] = (
-        ("decoder", "pos_embedding_freq", "embedding"), _DIRECT)
-    r[f"{d}.pos_embedding_time.weight"] = (
-        ("decoder", "pos_embedding_time", "embedding"), _DIRECT)
-    r.update(_layer_rules(f"{d}.layer_zero_freq", ("decoder", "layer_zero_freq"),
-                          has_self=False, has_cross=True))
-    for i in range(dec_layers - 1):
-        r.update(_layer_rules(f"{d}.layers_freq.{i}",
-                              ("decoder", f"layers_freq_{i}"),
-                              has_self=True, has_cross=True))
-    for i in range(dec_layers):
-        r.update(_layer_rules(f"{d}.layers_time.{i}",
-                              ("decoder", f"layers_time_{i}"),
-                              has_self=True, has_cross=False))
-    r.update(_head_rules(d, ("decoder",), [
-        "fc_onset_freq", "fc_offset_freq", "fc_mpe_freq", "fc_velocity_freq",
-        "fc_onset_time", "fc_offset_time", "fc_mpe_time", "fc_velocity_time",
-    ]))
+    freq_heads = ["fc_onset_freq", "fc_offset_freq", "fc_mpe_freq",
+                  "fc_velocity_freq"]
+    time_heads = ["fc_onset_time", "fc_offset_time", "fc_mpe_time",
+                  "fc_velocity_time"]
+    if dec_alg in ("cafreq_satime", "cafreq"):
+        r[f"{d}.pos_embedding_freq.weight"] = (
+            ("decoder", "pos_embedding_freq", "embedding"), _DIRECT)
+        r.update(_layer_rules(f"{d}.layer_zero_freq",
+                              ("decoder", "layer_zero_freq"),
+                              has_self=False, has_cross=True))
+        for i in range(dec_layers - 1):
+            r.update(_layer_rules(f"{d}.layers_freq.{i}",
+                                  ("decoder", f"layers_freq_{i}"),
+                                  has_self=True, has_cross=True))
+        r.update(_head_rules(d, ("decoder",), freq_heads))
+    elif dec_alg == "linear_satime":
+        r[f"{d}.fc_convert.weight"] = (("decoder", "fc_convert_kernel"),
+                                       _TRANSPOSE)
+        r[f"{d}.fc_convert.bias"] = (("decoder", "fc_convert_bias"), _DIRECT)
+        r.update(_head_rules(d, ("decoder",), freq_heads))
+    else:
+        raise ValueError(f"unknown dec_alg {dec_alg!r}")
+    if dec_alg in ("cafreq_satime", "linear_satime"):
+        r[f"{d}.pos_embedding_time.weight"] = (
+            ("decoder", "pos_embedding_time", "embedding"), _DIRECT)
+        for i in range(dec_layers):
+            r.update(_layer_rules(f"{d}.layers_time.{i}",
+                                  ("decoder", f"layers_time_{i}"),
+                                  has_self=True, has_cross=False))
+        r.update(_head_rules(d, ("decoder",), time_heads))
     return r
 
 
@@ -90,34 +141,51 @@ def convert_state_dict(
     state_dict: Mapping[str, Any],
     enc_layers: int,
     dec_layers: int,
-) -> dict:
-    """torch state_dict (tensors or ndarrays) -> nested flax params dict."""
-    rules = build_rules(enc_layers, dec_layers)
+    enc_alg: str = "cnntime_safreq",
+    dec_alg: str = "cafreq_satime",
+    with_batch_stats: bool = False,
+):
+    """torch state_dict (tensors or ndarrays) -> nested flax params dict.
+
+    With ``with_batch_stats`` (BatchNorm models) returns
+    ``(params, batch_stats)``.
+    """
+    rules = build_rules(enc_layers, dec_layers, enc_alg, dec_alg)
     params: dict = {}
+    batch_stats: dict = {}
     seen = set()
     for key, tensor in state_dict.items():
         if key not in rules:
             raise KeyError(f"unmapped reference parameter: {key}")
         seen.add(key)
+        path, tf = rules[key]
+        if tf == "skip":
+            continue
         arr = np.asarray(getattr(tensor, "detach", lambda: tensor)().numpy()
                          if hasattr(tensor, "detach") else tensor,
                          dtype=np.float32)
-        path, tf = rules[key]
         if tf == _TRANSPOSE:
             arr = arr.T
         elif tf == "conv":
             arr = arr.reshape(arr.shape[0], arr.shape[-1])  # [C,1,1,k]->[C,k]
-        node = params
+        elif tf == "conv2d":
+            arr = arr.transpose(2, 3, 1, 0)  # torch OIHW -> flax HWIO
+        target = batch_stats if tf == "batch_stat" else params
+        node = target
         for p in path[:-1]:
             node = node.setdefault(p, {})
         node[path[-1]] = arr
     missing = set(rules) - seen
     if missing:
         raise KeyError(f"reference state_dict missing keys: {sorted(missing)[:5]}")
+    if with_batch_stats:
+        return params, batch_stats
     return params
 
 
-def load_reference_checkpoint(path: str, enc_layers: int, dec_layers: int) -> dict:
+def load_reference_checkpoint(path: str, enc_layers: int, dec_layers: int,
+                              enc_alg: str = "cnntime_safreq",
+                              dec_alg: str = "cafreq_satime") -> dict:
     """Load a reference ``.dat``/``.pkl`` checkpoint into flax params.
 
     ``.dat`` files are torch.save dicts with a ``model_dict`` state_dict
@@ -133,4 +201,4 @@ def load_reference_checkpoint(path: str, enc_layers: int, dec_layers: int) -> di
         sd = obj.state_dict()
     else:
         sd = obj
-    return convert_state_dict(sd, enc_layers, dec_layers)
+    return convert_state_dict(sd, enc_layers, dec_layers, enc_alg, dec_alg)

@@ -33,6 +33,9 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Callable = struct.field(pytree_node=False)
+    # BatchNorm running stats (cnnblock_safreq ablation encoder); None for
+    # the main model.
+    batch_stats: Any = None
 
     def apply_gradients(self, grads):
         updates, opt_state = self.tx.update(grads, self.opt_state, self.params)
@@ -75,12 +78,29 @@ def loss_fn(
     params: Any,
     batch: dict,
     dropout_rng: jax.Array | None = None,
+    batch_stats: Any = None,
 ) -> tuple[jnp.ndarray, dict]:
-    """Compute the weighted 8-term loss. Returns ``(loss, metrics)``."""
+    """Compute the weighted loss. Returns ``(loss, (metrics, new_stats))``
+    when batch_stats is given (training a BatchNorm model), else
+    ``(loss, metrics)``.
+
+    Models without a second stage ("cafreq" ablation decoder) emit only the
+    A heads; the B terms are skipped then (reference ``train_ablation.py``
+    single-mode loss)."""
     deterministic = dropout_rng is None
     rngs = None if deterministic else {"dropout": dropout_rng}
-    out = apply_fn({"params": params}, batch["spec"],
-                   deterministic=deterministic, rngs=rngs)
+    new_stats = None
+    if batch_stats is not None and not deterministic:
+        out, updates = apply_fn(
+            {"params": params, "batch_stats": batch_stats}, batch["spec"],
+            deterministic=deterministic, rngs=rngs, mutable=["batch_stats"])
+        new_stats = updates["batch_stats"]
+    elif batch_stats is not None:
+        out = apply_fn({"params": params, "batch_stats": batch_stats},
+                       batch["spec"], deterministic=deterministic, rngs=rngs)
+    else:
+        out = apply_fn({"params": params}, batch["spec"],
+                       deterministic=deterministic, rngs=rngs)
 
     valid = batch.get("valid")
     B = batch["spec"].shape[0]
@@ -102,7 +122,8 @@ def loss_fn(
 
     metrics = {}
     totals = {}
-    for fam in ("A", "B"):
+    fams = ("A", "B") if "onset_B" in out else ("A",)
+    for fam in fams:
         l_on = bce(out[f"onset_{fam}"], batch["onset"])
         l_off = bce(out[f"offset_{fam}"], batch["offset"])
         l_mpe = bce(out[f"mpe_{fam}"], batch["mpe"])
@@ -111,8 +132,12 @@ def loss_fn(
         metrics.update({f"loss_onset_{fam}": l_on, f"loss_offset_{fam}": l_off,
                         f"loss_mpe_{fam}": l_mpe, f"loss_velocity_{fam}": l_vel})
 
-    loss = config.train.weight_A * totals["A"] + config.train.weight_B * totals["B"]
+    loss = config.train.weight_A * totals["A"]
+    if "B" in totals:
+        loss = loss + config.train.weight_B * totals["B"]
     metrics["loss"] = loss
+    if batch_stats is not None:
+        return loss, (metrics, new_stats)
     return loss, metrics
 
 
@@ -128,10 +153,17 @@ def make_train_step(config: Config):
     def train_step(state: TrainState, batch: dict, dropout_rng: jax.Array):
         rng = jax.random.fold_in(dropout_rng, state.step)
         grad_fn = jax.value_and_grad(
-            lambda p: loss_fn(config, state.apply_fn, p, batch, rng),
+            lambda p: loss_fn(config, state.apply_fn, p, batch, rng,
+                              state.batch_stats),
             has_aux=True)
-        (_, metrics), grads = grad_fn(state.params)
-        return state.apply_gradients(grads), metrics
+        (_, aux), grads = grad_fn(state.params)
+        new_state = state.apply_gradients(grads)
+        if state.batch_stats is not None:
+            metrics, new_stats = aux
+            new_state = new_state.replace(batch_stats=new_stats)
+        else:
+            metrics = aux
+        return new_state, metrics
 
     return train_step
 
@@ -141,18 +173,23 @@ def make_eval_step(config: Config):
 
     @jax.jit
     def eval_step(state: TrainState, batch: dict) -> dict:
-        _, metrics = loss_fn(config, state.apply_fn, state.params, batch)
-        return metrics
+        _, aux = loss_fn(config, state.apply_fn, state.params, batch,
+                         batch_stats=state.batch_stats)
+        return aux[0] if state.batch_stats is not None else aux
 
     return eval_step
 
 
 def create_train_state(config: Config, rng: jax.Array,
                        batch_size: int = 1) -> TrainState:
-    from nylon_amt_tpu.models.hft import build_model, init_params
+    from nylon_amt_tpu.models.hft import build_model
 
     model = build_model(config)
-    params = init_params(config, rng, batch_size)
+    spec = jnp.zeros((batch_size, config.feature.n_bins, config.window_frames),
+                     jnp.float32)
+    variables = model.init({"params": rng}, spec, deterministic=True)
+    params = variables["params"]
     tx = make_optimizer(config)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                      opt_state=tx.init(params), tx=tx, apply_fn=model.apply)
+                      opt_state=tx.init(params), tx=tx, apply_fn=model.apply,
+                      batch_stats=variables.get("batch_stats"))
