@@ -63,8 +63,15 @@ def cmd_corpus(args) -> int:
             notes = midi2note(config, midi_path)
             labels = note2label(config, notes,
                                 offset_duration_tolerance_flag=args.offset_duration_tolerance)
+            if args.per_file:
+                # per-piece archives (the fixed equivalent of the reference's
+                # broken top-level dataset_creation.py nylon path)
+                d = os.path.join(args.out, "per_file")
+                os.makedirs(d, exist_ok=True)
+                np.savez_compressed(os.path.join(d, name + ".npz"),
+                                    feature=feat, **labels)
             pieces.append((feat, labels))
-        if pieces:
+        if pieces and not args.per_file:
             build_corpus_split(config, pieces, args.out, split,
                                n_div=n_div[split])
     write_manifest(config, args.out)
@@ -159,6 +166,11 @@ def cmd_transcribe(args) -> int:
         write_notes(os.path.join(out_dir, stem + ".mid"), notes)
         with open(os.path.join(out_dir, stem + ".notes.json"), "w") as f:
             json.dump(notes, f, indent=2)
+        if args.tab:
+            from nylon_amt_tpu.infer.tab import write_alphatex
+
+            write_alphatex(notes, os.path.join(out_dir, stem + ".alphatex"),
+                           title=stem)
         if args.save_posteriors:
             np.savez_compressed(os.path.join(out_dir, stem + ".post.npz"),
                                 **post)
@@ -218,6 +230,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--n-div-test", type=int, default=1)
     c.add_argument("--limit", type=int, help="first N files per split (smoke)")
     c.add_argument("--offset-duration-tolerance", action="store_true")
+    c.add_argument("--per-file", action="store_true",
+                   help="write per-piece archives instead of split arrays")
     c.set_defaults(fn=cmd_corpus)
 
     t = sub.add_parser("train", help="train the hFT model")
@@ -255,6 +269,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--mode-offset", default="shorter",
                    choices=["shorter", "longer", "offset"])
     r.add_argument("--save-posteriors", action="store_true")
+    r.add_argument("--tab", action="store_true",
+                   help="also export guitar tablature (alphaTex)")
     r.set_defaults(fn=cmd_transcribe)
 
     e = sub.add_parser("evaluate", help="score estimated vs reference notes")

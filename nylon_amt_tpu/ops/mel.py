@@ -107,9 +107,11 @@ class MelFrontend:
     reference's ``AMT.wav2feature`` output layout (``amt.py:61-63``).
     """
 
-    def __init__(self, cfg: FeatureConfig, use_pallas: bool = False):
+    def __init__(self, cfg: FeatureConfig, use_pallas: bool | None = None):
         cfg.validate()
         self.cfg = cfg
+        # None = auto: the fused Pallas kernel on TPU (~10x the XLA path),
+        # the XLA gather+matmul path elsewhere.
         self.use_pallas = use_pallas
         n_fft = cfg.fft_bins
 
@@ -163,7 +165,10 @@ class MelFrontend:
 
     def __call__(self, wav) -> jnp.ndarray:
         wav = jnp.asarray(wav, dtype=jnp.float32)
-        if self.use_pallas:
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
             from nylon_amt_tpu.ops.spectrogram_pallas import log_mel_pallas
 
             return log_mel_pallas(wav, self)

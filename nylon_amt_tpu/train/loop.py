@@ -113,6 +113,12 @@ class Trainer:
         self._write_manifest(state)
 
         epoch_start, div_start = 0, 0
+        if resume == "auto":
+            # Crash recovery: resume from the newest checkpoint on disk (the
+            # reference only supports manual -resume_epoch/-resume_div).
+            resume = self.latest_checkpoint()
+            if resume is not None:
+                log.info("auto-resume from epoch %d div %d", *resume)
         if resume is not None:
             state, host = self.ckpt.restore(*resume, state)
             self.scheduler.load_state_dict(host["scheduler"])
@@ -186,6 +192,16 @@ class Trainer:
                       encoding="utf-8") as f:
                 json.dump(results, f, indent=4)
         return state
+
+    def latest_checkpoint(self) -> tuple[int, int] | None:
+        """Newest (epoch, div) checkpoint present on disk, if any."""
+        tags = []
+        for name in os.listdir(self.ckpt.directory):
+            if name.startswith("model_") and self.ckpt.exists(
+                    *map(int, name.split("_")[1:3])):
+                e, d = name.split("_")[1:3]
+                tags.append((int(e), int(d)))
+        return max(tags) if tags else None
 
     def _write_manifest(self, state: TrainState) -> None:
         """Run manifest (reference ``parameter.json`` — m_training.py:162-208)."""
