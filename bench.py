@@ -27,6 +27,9 @@ BASELINE_AUDIO_SEC_PER_SEC = 20.0  # north-star: 20x real time per chip
 
 
 def main() -> None:
+    from nylon_amt_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     batch = 32
     warmup, iters = 3, 10
 

@@ -66,10 +66,10 @@ class MultiHeadAttention(nn.Module):
     * ``"xla"`` — einsum QK^T -> softmax -> PV (always returns weights);
     * ``"pallas"`` — the fused one-pass VMEM kernel
       (:mod:`nylon_amt_tpu.ops.attention`); scores never touch HBM. Weights
-      are only produced when ``need_weights`` (forward-only). When attention
-      dropout is active (training, rate > 0) the XLA path is used — the
-      reference drops out the attention matrix itself
-      (``model_spec2midi.py:348``).
+      are only produced when ``need_weights`` (forward-only). Attention
+      dropout (the reference drops out the attention matrix itself —
+      ``model_spec2midi.py:348``) runs in-kernel on real TPUs via the Pallas
+      PRNG; the CPU interpreter falls back to the XLA path.
     """
 
     hid_dim: int
@@ -109,14 +109,21 @@ class MultiHeadAttention(nn.Module):
                         preferred_element_type=jnp.float32).astype(dt)
             return y + b.astype(dt)
 
-        dropout_active = (not deterministic) and self.dropout > 0.0
-        if self.impl == "pallas" and not dropout_active:
-            from nylon_amt_tpu.ops.attention import (
-                fused_mha,
-                fused_mha_with_probs,
-                on_tpu,
-            )
+        from nylon_amt_tpu.ops.attention import (
+            fused_mha,
+            fused_mha_dropout,
+            fused_mha_with_probs,
+            on_tpu,
+        )
 
+        dropout_active = (not deterministic) and self.dropout > 0.0
+        # The fused kernel handles dropout in-kernel (regenerated PRNG
+        # streams in fwd/bwd) on real TPUs; the Pallas interpreter has no
+        # PRNG, so CPU runs and "training while materializing attention
+        # maps" fall back to the XLA path.
+        use_pallas = self.impl == "pallas" and not (
+            dropout_active and (need_weights or not on_tpu()))
+        if use_pallas:
             interpret = not on_tpu()
             scale = 1.0 / float(head_dim) ** 0.5
 
@@ -132,6 +139,11 @@ class MultiHeadAttention(nn.Module):
                     jax.lax.stop_gradient(vf), H, scale, interpret)
                 if not deterministic:
                     out_f = fused_mha(qf, kf, vf, H, scale, interpret)
+            elif dropout_active:
+                seed = jax.random.randint(self.make_rng("dropout"), (),
+                                          0, 2**31 - 1, dtype=jnp.int32)
+                out_f = fused_mha_dropout(qf, kf, vf, H, scale,
+                                          float(self.dropout), interpret, seed)
             else:
                 out_f = fused_mha(qf, kf, vf, H, scale, interpret)
             out = jnp.dot(out_f, wo.astype(dt),
@@ -304,12 +316,13 @@ class FreqEncoder(nn.Module):
 
         # spec_in [B, n_bin, total] -> frames via one conv over time.
         # conv_general_dilated: treat bins as a spatial dim with kernel 1.
-        x = spec_in.astype(self.dtype)[:, None, :, :]       # [B, 1, n_bin, total]
-        kernel = k_eff.astype(self.dtype).T[:, None, None, :]  # [hid,1,1,65]
+        # The stem is ~0.5% of the model FLOPs: keep it f32 end to end
+        # (mixed bf16/f32 conv operands break the transposed-conv gradient).
+        x = spec_in.astype(jnp.float32)[:, None, :, :]      # [B, 1, n_bin, total]
+        kernel = k_eff.T[:, None, None, :]                  # [hid, 1, 1, 65]
         emb = jax.lax.conv_general_dilated(
             x, kernel, window_strides=(1, 1), padding="VALID",
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            preferred_element_type=jnp.float32,
         )                                                    # [B, hid, n_bin, n_frame]
         emb = emb.astype(self.dtype) + b_eff.astype(self.dtype)[None, :, None, None]
         emb = emb.transpose(0, 3, 2, 1)                      # [B, n_frame, n_bin, hid]

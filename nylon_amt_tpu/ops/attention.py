@@ -39,18 +39,29 @@ _LOG2E = 1.4426950408889634
 
 
 def _pick_block_rows(n: int, lq: int, lk: int, hid: int,
-                     budget_mb: float = 4.0) -> int:
+                     itemsize: int = 2, budget_mb: float = 4.0) -> int:
     """N-rows per grid program, sized to a VMEM budget (with double
     buffering and f32 score scratch in mind)."""
-    bytes_per_row = 2 * (2 * lq * hid + 2 * lk * hid) + 2 * 4 * lq * lk
+    bytes_per_row = itemsize * (2 * lq * hid + 2 * lk * hid) + 2 * 4 * lq * lk
     bn = max(1, int(budget_mb * 1024 * 1024 / bytes_per_row))
     while n % bn:
         bn -= 1
     return bn
 
 
+def _dropout_mask(shape, rate):
+    """Keep-mask scaled by 1/(1-rate), from the per-core PRNG (seeded by the
+    caller). Matches inverted-dropout semantics on the attention weights
+    (the reference's ``dropout(attention)`` — ``model_spec2midi.py:348``)."""
+    bits = pltpu.prng_random_bits(shape)  # uint32
+    # P(bits < threshold) = rate
+    threshold = jnp.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
+    keep = (pltpu.bitcast(bits, jnp.uint32) >= threshold).astype(jnp.float32)
+    return keep * (1.0 / (1.0 - rate))
+
+
 def _head_attention(qh, kh, vh, scale):
-    """One head's fused attention on VMEM blocks; returns (o_f32, inv_l)."""
+    """One head's fused attention on VMEM blocks; returns (o_f32, l, p)."""
     s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
     s = s * (scale * _LOG2E)
@@ -71,6 +82,59 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_heads, p_ref=None):
         o_ref[:, :, sl] = (o / l).astype(o_ref.dtype)
         if p_ref is not None:
             p_ref[:, h, :, :] = (p / l).astype(p_ref.dtype)
+
+
+def _fwd_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale,
+                        n_heads, rate):
+    """Forward with dropout applied to the normalized attention weights.
+
+    Normalization (l) is computed BEFORE dropout, as torch does; the same
+    per-(program, head) PRNG stream is regenerated in the backward kernel.
+    """
+    pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    head_dim = q_ref.shape[-1] // n_heads
+    dt = q_ref.dtype
+    for h in range(n_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh, kh, vh = q_ref[:, :, sl], k_ref[:, :, sl], v_ref[:, :, sl]
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s * (scale * _LOG2E)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pd = p * _dropout_mask(p.shape, rate)
+        o = jax.lax.dot_general(pd.astype(dt), vh, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        o_ref[:, :, sl] = (o / l).astype(o_ref.dtype)
+
+
+def _bwd_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref,
+                        dk_ref, dv_ref, *, scale, n_heads, rate):
+    pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    head_dim = q_ref.shape[-1] // n_heads
+    for h in range(n_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q, k, v = q_ref[:, :, sl], k_ref[:, :, sl], v_ref[:, :, sl]
+        do = do_ref[:, :, sl]
+        dt = q.dtype
+        _, l, p = _head_attention(q, k, v, scale)
+        a = p / l                                   # normalized weights
+        d = _dropout_mask(a.shape, rate)            # same stream as forward
+        ad = a * d
+        dv = jax.lax.dot_general(ad.astype(dt), do, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        da = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * d
+        row = jnp.sum(da * a, axis=-1, keepdims=True)
+        ds = (a * (da - row)).astype(dt)
+        dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
@@ -113,7 +177,7 @@ def _params(interpret):
 def _fused_fwd(q, k, v, scale, n_heads, return_probs, interpret):
     n, lq, hid = q.shape
     lk = k.shape[1]
-    bn = _pick_block_rows(n, lq, lk, hid)
+    bn = _pick_block_rows(n, lq, lk, hid, q.dtype.itemsize)
     out_shape = [jax.ShapeDtypeStruct((n, lq, hid), q.dtype)]
     out_specs = [_blk(bn, lq, hid)]
     if return_probs:
@@ -151,7 +215,8 @@ def _mha_bwd(n_heads, scale, interpret, res, do):
     q, k, v = res
     n, lq, hid = q.shape
     lk = k.shape[1]
-    bn = _pick_block_rows(n, lq, lk, hid)
+    # the backward body keeps p/dp/ds/da alive simultaneously: smaller blocks
+    bn = _pick_block_rows(n, lq, lk, hid, q.dtype.itemsize, budget_mb=1.5)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, n_heads=n_heads),
         grid=(n // bn,),
@@ -176,6 +241,74 @@ def fused_mha_with_probs(q, k, v, n_heads: int, scale: float,
     ``[N, H, Lq, Lk]`` (the model returns the last cross-attention map —
     reference ``model_spec2midi.py:164-165``). Not differentiable."""
     return _fused_fwd(q, k, v, scale, n_heads, True, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_mha_dropout(q, k, v, n_heads: int, scale: float, rate: float,
+                      interpret: bool, seed):
+    """Fused MHA with in-kernel dropout on the attention weights.
+
+    ``seed`` is an int32 scalar array; forward and backward regenerate the
+    identical per-(program, head) PRNG streams, so no mask is materialized.
+    RNG differs from the torch path (different generator) — dropout
+    realizations are random either way.
+    """
+    return _dropout_call(q, k, v, n_heads, scale, rate, interpret, seed)
+
+
+def _dropout_specs(bn, lq, lk, hid):
+    seed_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+    return seed_spec
+
+
+def _dropout_call(q, k, v, n_heads, scale, rate, interpret, seed):
+    n, lq, hid = q.shape
+    lk = k.shape[1]
+    bn = _pick_block_rows(n, lq, lk, hid, q.dtype.itemsize)
+    seed2d = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    return pl.pallas_call(
+        functools.partial(_fwd_dropout_kernel, scale=scale, n_heads=n_heads,
+                          rate=rate),
+        grid=(n // bn,),
+        in_specs=[_dropout_specs(bn, lq, lk, hid),
+                  _blk(bn, lq, hid), _blk(bn, lk, hid), _blk(bn, lk, hid)],
+        out_specs=_blk(bn, lq, hid),
+        out_shape=jax.ShapeDtypeStruct((n, lq, hid), q.dtype),
+        interpret=interpret,
+        compiler_params=_params(interpret),
+    )(seed2d, q, k, v)
+
+
+def _mha_drop_fwd(q, k, v, n_heads, scale, rate, interpret, seed):
+    return _dropout_call(q, k, v, n_heads, scale, rate, interpret, seed), \
+        (q, k, v, seed)
+
+
+def _mha_drop_bwd(n_heads, scale, rate, interpret, res, do):
+    q, k, v, seed = res
+    n, lq, hid = q.shape
+    lk = k.shape[1]
+    bn = _pick_block_rows(n, lq, lk, hid, q.dtype.itemsize, budget_mb=1.5)
+    seed2d = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dropout_kernel, scale=scale, n_heads=n_heads,
+                          rate=rate),
+        grid=(n // bn,),
+        in_specs=[_dropout_specs(bn, lq, lk, hid),
+                  _blk(bn, lq, hid), _blk(bn, lk, hid), _blk(bn, lk, hid),
+                  _blk(bn, lq, hid)],
+        out_specs=[_blk(bn, lq, hid), _blk(bn, lk, hid), _blk(bn, lk, hid)],
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        interpret=interpret,
+        compiler_params=_params(interpret),
+    )(seed2d, q, k, v, do)
+    return dq, dk, dv, None
+
+
+fused_mha_dropout.defvjp(_mha_drop_fwd, _mha_drop_bwd)
 
 
 # Backwards-compatible single-head-folded API (used by tests/microbenches).

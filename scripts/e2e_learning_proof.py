@@ -1,0 +1,140 @@
+"""End-to-end learning proof on synthetic audio.
+
+Generates a synthetic sine-piano corpus (random notes, decaying harmonics),
+trains the reduced-recipe hFT on it (the reference README's scale:
+hid 64 / pf 128 / 2+2 layers — ``README.md:8-12``), transcribes a held-out
+piece, and scores note-level P/R/F1 against the ground truth. Passing
+criterion: onset-only F1 >= 0.75 on the held-out piece — evidence that the
+full pipeline (features -> model -> training -> decoding -> scoring) learns
+real transcription, not just that the pieces run.
+
+Training length matters: with ~0.3% positive onset cells, the model spends
+the first ~1k steps in an all-negative plateau before carving out confident
+onsets (measured: at-label posterior 0.002 at step 400 -> 0.78 at step 3k on
+a fixed batch). 40 epochs (~9k varied steps) clears it comfortably.
+
+Usage: python scripts/e2e_learning_proof.py [--epochs 40] [--pieces 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from nylon_amt_tpu.config import Config, ModelConfig, TrainConfig
+
+
+def synth_piece(rng, sr=16000, dur=20.0, n_notes=40, pitch_lo=48, pitch_hi=84):
+    """Random monophonic-ish piece with decaying-harmonic tones."""
+    t_all = np.arange(int(dur * sr)) / sr
+    wav = np.zeros_like(t_all)
+    notes = []
+    onset = 0.2
+    for _ in range(n_notes):
+        pitch = int(rng.integers(pitch_lo, pitch_hi))
+        length = float(rng.uniform(0.15, 0.5))
+        vel = int(rng.integers(50, 110))
+        f0 = 440.0 * 2 ** ((pitch - 69) / 12)
+        seg = (t_all >= onset) & (t_all < onset + length)
+        t = t_all[seg] - onset
+        amp = (vel / 127.0) * 0.4 * np.exp(-t * 4.0)
+        tone = np.sin(2 * np.pi * f0 * t) + 0.4 * np.sin(4 * np.pi * f0 * t) \
+            + 0.15 * np.sin(6 * np.pi * f0 * t)
+        wav[seg] += amp * tone
+        notes.append({"pitch": pitch, "onset": round(onset, 4),
+                      "offset": round(onset + length, 4), "velocity": vel})
+        onset += float(rng.uniform(0.18, 0.45))
+        if onset > dur - 1.0:
+            break
+    return np.clip(wav, -1, 1).astype(np.float32), notes
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--pieces", type=int, default=8)
+    ap.add_argument("--dur", type=float, default=20.0)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--n-slice", type=int, default=4)
+    ap.add_argument("--out", default="/tmp/nylon_e2e_proof")
+    args = ap.parse_args()
+
+    import jax
+
+    from nylon_amt_tpu.data.corpus import assemble_split
+    from nylon_amt_tpu.data.windows import WindowDataset
+    from nylon_amt_tpu.infer.transcribe import Transcriber
+    from nylon_amt_tpu.labels import note2label
+    from nylon_amt_tpu.metrics.harness import score_notes
+    from nylon_amt_tpu.ops.mel import MelFrontend
+    from nylon_amt_tpu.train.loop import Trainer
+
+    print("backend:", jax.default_backend(), flush=True)
+    cfg = Config(
+        model=ModelConfig(hid_dim=64, pf_dim=128, enc_layer=2, dec_layer=2,
+                          enc_head=2, dec_head=2, dropout=0.1,
+                          compute_dtype="bfloat16"),
+        train=TrainConfig(epochs=args.epochs, batch_size=8, lr=args.lr,
+                          n_slice=args.n_slice, plateau_patience=4),
+    )
+    rng = np.random.default_rng(42)
+    frontend = MelFrontend(cfg.feature)
+
+    t0 = time.time()
+    train_pieces, valid_pieces = [], []
+    for i in range(args.pieces + 2):
+        wav, notes = synth_piece(rng, dur=args.dur)
+        feat = np.asarray(frontend(wav))
+        labels = note2label(cfg, notes, nframe=feat.shape[0])
+        (train_pieces if i < args.pieces else valid_pieces).append(
+            (feat, labels))
+    # held-out test piece
+    test_wav, test_notes = synth_piece(rng, dur=args.dur)
+    print(f"corpus built in {time.time() - t0:.0f}s", flush=True)
+
+    train_arrays = assemble_split(cfg, *zip(*train_pieces))
+    valid_arrays = assemble_split(cfg, *zip(*valid_pieces))
+
+    def provider(split, div):
+        arrays = train_arrays if split == "train" else valid_arrays
+        return WindowDataset(arrays, cfg, n_slice=cfg.train.n_slice)
+
+    trainer = Trainer(cfg, args.out)
+    t0 = time.time()
+    state = trainer.fit(provider)
+    print(f"training took {time.time() - t0:.0f}s; "
+          f"losses {trainer.performance['loss_train'][:2]} ... "
+          f"{trainer.performance['loss_train'][-2:]}", flush=True)
+
+    # transcribe the held-out piece and score
+    tr = Transcriber(cfg, params=state.params, batch_windows=8)
+    feat = np.asarray(frontend(test_wav))
+    post = tr.transcript(feat)
+    notes = tr.mpe2note(post["onset_B"], post["offset_B"], post["mpe_B"],
+                        post["velocity_B"])
+    scores = score_notes(test_notes, notes)
+    result = {
+        "est_notes": len(notes), "ref_notes": len(test_notes),
+        "f1_no_offset": scores["F-measure_no_offset"],
+        "precision_no_offset": scores["Precision_no_offset"],
+        "recall_no_offset": scores["Recall_no_offset"],
+        "f1_with_offset": scores["F-measure"],
+        "f1_velocity": scores.get("F-measure_velocity"),
+        "loss_first": trainer.performance["loss_train"][0],
+        "loss_last": trainer.performance["loss_train"][-1],
+    }
+    print(json.dumps(result, indent=2))
+    ok = result["f1_no_offset"] >= 0.75
+    print("LEARNING PROOF:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
