@@ -182,13 +182,29 @@ def cmd_transcribe(args) -> int:
 
 def cmd_evaluate(args) -> int:
     from nylon_amt_tpu.labels import midi2note
-    from nylon_amt_tpu.metrics.harness import aggregate, score_frames, score_notes
+    from nylon_amt_tpu.metrics.harness import (
+        aggregate,
+        score_frames,
+        score_mpe_posteriors,
+        score_notes,
+    )
 
     config = _load_config(args.config)
     per_file_notes, per_file_frames = {}, {}
+    per_file_mpe = {}
     for pair in args.pair:
         ref_path, est_path = pair.split(":")
         ref_notes = midi2note(config, ref_path)
+        if est_path.endswith(".npz"):
+            # thresholded-MPE-posterior frame scoring (reference m_mpe.py path)
+            post = np.load(est_path)
+            fam = "B" if "mpe_B" in post else "A"
+            per_file_mpe[os.path.basename(est_path)] = score_mpe_posteriors(
+                ref_notes, post[f"mpe_{fam}"],
+                fps=config.feature.frames_per_sec,
+                note_min=config.midi.note_min,
+                num_note=config.midi.num_note)
+            continue
         if est_path.endswith(".json"):
             with open(est_path) as f:
                 est_notes = json.load(f)
@@ -204,6 +220,9 @@ def cmd_evaluate(args) -> int:
                        "mean": aggregate(per_file_notes)},
               "frame": {"per_file": per_file_frames,
                         "mean": aggregate(per_file_frames)}}
+    if per_file_mpe:
+        result["mpe_posterior"] = {"per_file": per_file_mpe,
+                                   "mean": aggregate(per_file_mpe)}
     text = json.dumps(result, indent=2)
     if args.out:
         with open(args.out, "w") as f:
@@ -276,7 +295,7 @@ def build_parser() -> argparse.ArgumentParser:
     e = sub.add_parser("evaluate", help="score estimated vs reference notes")
     e.add_argument("--config")
     e.add_argument("--pair", nargs="+", required=True,
-                   metavar="REF.mid:EST.{mid,json}")
+                   metavar="REF.mid:EST.{mid,json,post.npz}")
     e.add_argument("--out")
     e.set_defaults(fn=cmd_evaluate)
     return p

@@ -1,0 +1,93 @@
+"""Training-step throughput benchmark (one chip, paper-scale model).
+
+Times a device-side ``lax.scan`` of full train steps (fwd + bwd + Adam) and
+reports trained audio-seconds per wall second per chip. Prints one JSON line
+(this is the training companion of the inference ``bench.py``; the driver's
+headline metric stays inference throughput).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--dropout", type=float, default=0.1)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from nylon_amt_tpu.config import Config, ModelConfig, TrainConfig
+    from nylon_amt_tpu.train.step import create_train_state, loss_fn
+    from nylon_amt_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    config = Config(
+        model=ModelConfig(hid_dim=256, pf_dim=512, enc_layer=3, dec_layer=3,
+                          enc_head=4, dec_head=4, dropout=args.dropout,
+                          compute_dtype="bfloat16"),
+        train=TrainConfig(batch_size=args.batch),
+    )
+    B = args.batch
+    rng = np.random.default_rng(0)
+    batch = {
+        "spec": jnp.asarray(rng.standard_normal((B, 256, 192)), jnp.float32),
+        "onset": jnp.asarray(rng.random((B, 128, 88)) > 0.97, jnp.float32),
+        "offset": jnp.asarray(rng.random((B, 128, 88)) > 0.97, jnp.float32),
+        "mpe": jnp.asarray(rng.random((B, 128, 88)) > 0.9, jnp.float32),
+        "velocity": jnp.asarray(rng.integers(0, 128, (B, 128, 88)), jnp.int32),
+        "valid": jnp.ones((B,), jnp.float32),
+    }
+    state = create_train_state(config, jax.random.key(0), batch_size=B)
+
+    @jax.jit
+    def steps_n(state, batch, key):
+        def body(carry, i):
+            st = carry
+            rng_i = jax.random.fold_in(key, i)
+            grad_fn = jax.value_and_grad(
+                lambda p: loss_fn(config, st.apply_fn, p, batch, rng_i),
+                has_aux=True)
+            (_, metrics), grads = grad_fn(st.params)
+            return st.apply_gradients(grads), metrics["loss"]
+
+        state, losses = jax.lax.scan(body, state, jnp.arange(args.iters))
+        return state, losses[-1]
+
+    t0 = time.time()
+    state, last = steps_n(state, batch, jax.random.key(1))
+    float(last)
+    print(f"# compile+first: {time.time() - t0:.0f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    state, last = steps_n(state, batch, jax.random.key(2))
+    float(last)
+    dt = (time.perf_counter() - t0) / args.iters
+
+    sec_per_window = (config.input.num_frame * config.feature.hop_sample
+                      / config.feature.sr)
+    audio_per_sec = B * sec_per_window / dt
+    print(json.dumps({
+        "metric": "train_audio_sec_per_sec_per_chip",
+        "value": round(audio_per_sec, 2),
+        "unit": "audio_sec/sec/chip",
+        "step_ms": round(dt * 1e3, 1),
+        "batch": B,
+        "dropout": args.dropout,
+    }))
+
+
+if __name__ == "__main__":
+    main()

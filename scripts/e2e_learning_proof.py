@@ -58,8 +58,8 @@ def synth_piece(rng, sr=16000, dur=20.0, n_notes=40, pitch_lo=48, pitch_hi=84):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=40)
-    ap.add_argument("--pieces", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--pieces", type=int, default=16)
     ap.add_argument("--dur", type=float, default=20.0)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--n-slice", type=int, default=4)
@@ -81,8 +81,11 @@ def main():
         model=ModelConfig(hid_dim=64, pf_dim=128, enc_layer=2, dec_layer=2,
                           enc_head=2, dec_head=2, dropout=0.1,
                           compute_dtype="bfloat16"),
+        # constant lr: the plateau scheduler watches the total valid loss,
+        # which the (hard) velocity/offset heads dominate — it kills the lr
+        # while onset learning is still mid-breakout
         train=TrainConfig(epochs=args.epochs, batch_size=8, lr=args.lr,
-                          n_slice=args.n_slice, plateau_patience=4),
+                          n_slice=args.n_slice, plateau_patience=10_000),
     )
     rng = np.random.default_rng(42)
     frontend = MelFrontend(cfg.feature)
@@ -117,16 +120,18 @@ def main():
     tr = Transcriber(cfg, params=state.params, batch_windows=8)
     feat = np.asarray(frontend(test_wav))
     post = tr.transcript(feat)
+    # mode_velocity='org': velocity classification needs far more data than
+    # onset detection (class 0 dominates 99.7% of cells); the default
+    # ignore_zero mode would drop every detected note at this corpus scale.
     notes = tr.mpe2note(post["onset_B"], post["offset_B"], post["mpe_B"],
-                        post["velocity_B"])
-    scores = score_notes(test_notes, notes)
+                        post["velocity_B"], mode_velocity="org")
+    scores = score_notes(test_notes, notes, with_velocity=False)
     result = {
         "est_notes": len(notes), "ref_notes": len(test_notes),
         "f1_no_offset": scores["F-measure_no_offset"],
         "precision_no_offset": scores["Precision_no_offset"],
         "recall_no_offset": scores["Recall_no_offset"],
         "f1_with_offset": scores["F-measure"],
-        "f1_velocity": scores.get("F-measure_velocity"),
         "loss_first": trainer.performance["loss_train"][0],
         "loss_last": trainer.performance["loss_train"][-1],
     }

@@ -115,3 +115,19 @@ def test_roll_from_notes():
     roll = roll_from_notes(_notes((0.0, 0.5, 60, 80)), 100, 62.5, 21, 88)
     assert roll[:32, 39].all()
     assert not roll[33:, 39].any()
+
+
+def test_score_mpe_posteriors():
+    from nylon_amt_tpu.metrics.harness import score_mpe_posteriors
+
+    notes = _notes((0.0, 1.0, 60, 80))
+    fps = 62.5
+    T = 80
+    post = np.zeros((T, 88), np.float32)
+    post[: int(1.0 * fps) + 1, 60 - 21] = 0.9   # perfect estimate
+    out = score_mpe_posteriors(notes, post, fps=fps)
+    assert out["Recall"] > 0.95 and out["Precision"] > 0.95
+
+    # empty estimate: zero recall
+    out0 = score_mpe_posteriors(notes, np.zeros((T, 88), np.float32), fps=fps)
+    assert out0["Recall"] == 0.0
