@@ -120,6 +120,11 @@ class ModelConfig:
     compute_dtype: str = "float32"
     attention_impl: str = "auto"
     return_attention: bool = False
+    # Rematerialize encoder/decoder activations in the backward pass
+    # (flax.linen.remat). The TPU-native equivalent of the reference
+    # rewrite's gradient_checkpointing flag (ref_model_spec2midi.py:82-91):
+    # trades MXU recompute for HBM residency.
+    remat: bool = False
 
     @classmethod
     def paper_scale(cls) -> "ModelConfig":

@@ -452,13 +452,21 @@ class HFT(nn.Module):
         m = cfg.model
         dt = _dtype(m.compute_dtype)
         impl = resolve_attention_impl(m.attention_impl)
-        enc = FreqEncoder(
+        # TPU-native gradient checkpointing (the reference rewrite's
+        # gradient_checkpointing flag, ref_model_spec2midi.py:82-91):
+        # remat the encoder and decoder so the backward pass recomputes
+        # their activations instead of holding them in HBM.
+        Enc, Dec = FreqEncoder, Decoder
+        if m.remat:
+            Enc = nn.remat(FreqEncoder, static_argnums=(2,))
+            Dec = nn.remat(Decoder, static_argnums=(2,))
+        enc = Enc(
             n_margin=cfg.input.margin_b, n_frame=cfg.input.num_frame,
             n_bin=cfg.feature.n_bins, cnn_channel=m.cnn_channel,
             cnn_kernel=m.cnn_kernel, hid_dim=m.hid_dim, n_layers=m.enc_layer,
             n_heads=m.enc_head, pf_dim=m.pf_dim, dropout=m.dropout, dtype=dt,
             impl=impl, name="encoder")(input_spec, deterministic)
-        return Decoder(
+        return Dec(
             n_frame=cfg.input.num_frame, n_bin=cfg.feature.n_bins,
             n_note=cfg.midi.num_note, n_velocity=cfg.midi.num_velocity,
             hid_dim=m.hid_dim, n_layers=m.dec_layer, n_heads=m.dec_head,
