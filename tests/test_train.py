@@ -215,3 +215,48 @@ def test_trainer_end_to_end(rng, tmp_path):
     trainer2 = Trainer(cfg, str(tmp_path / "run"))
     trainer2.fit(provider, resume=(0, 0))
     assert len(trainer2.performance["loss_train"]) == 2
+
+
+def test_preemption_checkpoint_and_resume(rng, tmp_path):
+    """SIGTERM/SIGUSR1-driven elastic recovery: a preemption request mid-run
+    checkpoints the live state tagged "preempted"; resume="auto" re-runs the
+    interrupted (epoch, div) instead of skipping past it.
+    """
+    import os
+    import signal
+
+    from nylon_amt_tpu.train.loop import Trainer
+
+    cfg = tiny_config(batch_size=4, epochs=2)
+    feat = rng.standard_normal((60, 256)).astype(np.float32)
+    lab = {"onset": rng.random((60, 88)).astype(np.float32),
+           "offset": rng.random((60, 88)).astype(np.float32),
+           "mpe": rng.random((60, 88)) > 0.7,
+           "velocity": rng.integers(0, 127, (60, 88)).astype(np.int8)}
+    arrays = assemble_split(cfg, [feat], [lab])
+
+    calls = {"n": 0}
+
+    def preempting_provider(split, div):
+        if split == "train":
+            calls["n"] += 1
+            if calls["n"] == 2:  # deliver eviction notice during epoch 1
+                os.kill(os.getpid(), signal.SIGUSR1)
+        return WindowDataset(arrays, cfg, n_slice=8)
+
+    trainer = Trainer(cfg, str(tmp_path / "run"))
+    trainer.fit(preempting_provider)
+    # Epoch 0 completed; epoch 1 was preempted before any batch ran.
+    assert len(trainer.performance["loss_train"]) == 1
+    assert trainer.ckpt.exists(1, 0)
+    assert trainer.latest_checkpoint() == (1, 0)
+
+    def provider(split, div):
+        return WindowDataset(arrays, cfg, n_slice=8)
+
+    trainer2 = Trainer(cfg, str(tmp_path / "run"))
+    trainer2.fit(provider, resume="auto")
+    # The preempted (1, 0) shard was re-run, not skipped: the restored
+    # performance history (1 entry) gains exactly one more entry.
+    assert len(trainer2.performance["loss_train"]) == 2
+    assert not trainer2._preempt_requested
