@@ -98,6 +98,9 @@ def cmd_train(args) -> int:
     if overrides:
         config = dataclasses.replace(
             config, train=dataclasses.replace(config.train, **overrides))
+    if args.remat:
+        config = dataclasses.replace(
+            config, model=dataclasses.replace(config.model, remat=True))
 
     mesh = None
     if args.n_data or args.n_model > 1:
@@ -119,7 +122,8 @@ def cmd_train(args) -> int:
         metrics_fn = make_note_metrics_fn(config)
 
     trainer = Trainer(config, args.out, mesh=mesh)
-    resume = tuple(args.resume) if args.resume else None
+    resume = ("auto" if args.resume_auto
+              else tuple(args.resume) if args.resume else None)
     trainer.fit(provider, resume=resume, metrics_fn=metrics_fn)
     print(f"training done; best valid loss {trainer.best_loss_valid:.5f} "
           f"(epoch {trainer.best_epoch} div {trainer.best_div})")
@@ -263,6 +267,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--n-slice", type=int)
     t.add_argument("--seed", type=int)
     t.add_argument("--resume", nargs=2, type=int, metavar=("EPOCH", "DIV"))
+    t.add_argument("--resume-auto", action="store_true",
+                   help="resume from the newest checkpoint on disk "
+                        "(crash/preemption recovery)")
+    t.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder/decoder activations in the "
+                        "backward pass (gradient checkpointing)")
     t.add_argument("--n-data", type=int, help="data-parallel mesh size")
     t.add_argument("--n-model", type=int, default=1, help="TP mesh size")
     t.add_argument("--test-metrics", action="store_true",
