@@ -91,7 +91,8 @@ def cmd_train(args) -> int:
 
     config = _load_config(args.config)
     overrides = {}
-    for f in ("epochs", "batch_size", "lr", "n_slice", "seed"):
+    for f in ("epochs", "batch_size", "lr", "n_slice", "seed",
+              "keep_checkpoints"):
         v = getattr(args, f)
         if v is not None:
             overrides[f] = v
@@ -266,10 +267,14 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--lr", type=float)
     t.add_argument("--n-slice", type=int)
     t.add_argument("--seed", type=int)
-    t.add_argument("--resume", nargs=2, type=int, metavar=("EPOCH", "DIV"))
-    t.add_argument("--resume-auto", action="store_true",
-                   help="resume from the newest checkpoint on disk "
-                        "(crash/preemption recovery)")
+    resume_group = t.add_mutually_exclusive_group()
+    resume_group.add_argument("--resume", nargs=2, type=int,
+                              metavar=("EPOCH", "DIV"))
+    resume_group.add_argument("--resume-auto", action="store_true",
+                              help="resume from the newest checkpoint on disk "
+                                   "(crash/preemption recovery)")
+    t.add_argument("--keep-checkpoints", type=int,
+                   help="retain only the best + newest K checkpoints")
     t.add_argument("--remat", action="store_true",
                    help="rematerialize encoder/decoder activations in the "
                         "backward pass (gradient checkpointing)")

@@ -158,6 +158,9 @@ class TrainConfig:
     n_div_train: int = 1
     n_div_valid: int = 1
     n_div_test: int = 1
+    # Checkpoint retention: keep the best checkpoint plus the newest K.
+    # None keeps everything (the reference keeps all model_EEE_DDD.dat files).
+    keep_checkpoints: int | None = None
 
 
 @dataclass(frozen=True)

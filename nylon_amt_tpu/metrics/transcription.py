@@ -19,9 +19,10 @@ Hawthorne et al., "Onsets and Frames", ISMIR 2018):
   Average_Overlap_Ratio = mean over matched pairs of
   ``(min(offsets) - max(onsets)) / (max(offsets) - min(onsets))``;
 * the velocity variant rescales estimated velocities onto the references by
-  least squares over the matched pairs, normalizes by the maximum matched
-  reference velocity, and keeps a match only when the absolute difference is
-  within ``velocity_tolerance`` (0.1).
+  least squares over the timing-matched pairs, normalizes by the maximum
+  matched reference velocity, then RE-MATCHES over the candidate graph with
+  the velocity criterion (tolerance 0.1) as an additional edge condition —
+  see :func:`match_notes_velocity`.
 """
 
 from __future__ import annotations
@@ -104,22 +105,55 @@ def _overlap_ratio(ref_intervals, est_intervals, matching) -> float:
     return float(np.mean(ratios))
 
 
-def _velocity_filter(matching, ref_velocities, est_velocities,
-                     velocity_tolerance: float = 0.1):
-    """Keep matches whose rescaled velocities agree (Onsets & Frames metric)."""
-    if not matching:
+def match_notes_velocity(
+    ref_intervals, ref_pitches, ref_velocities, est_intervals, est_pitches,
+    est_velocities,
+    onset_tolerance: float = 0.05,
+    pitch_tolerance: float = 50.0,
+    offset_ratio: float | None = 0.2,
+    offset_min_tolerance: float = 0.05,
+    velocity_tolerance: float = 0.1,
+) -> list[tuple[int, int]]:
+    """Velocity-aware matching (``mir_eval.transcription_velocity`` semantics,
+    used by the reference at ``m_transcription.py:119-123``).
+
+    The velocity criterion is folded into the matching itself: (1) a plain
+    onset/pitch/offset matching determines a least-squares affine rescaling
+    of the estimated velocities onto the references; (2) both sides are
+    normalized by the maximum matched reference velocity; (3) the candidate
+    graph is rebuilt with the additional constraint that the rescaled
+    velocity difference is within ``velocity_tolerance``; (4) a second
+    maximum bipartite matching runs over that graph. A post-hoc filter of
+    step (1)'s matching would undercount — a velocity-rejected pair can block
+    a valid alternative pairing that the re-match recovers.
+    """
+    ref_intervals = np.atleast_2d(np.asarray(ref_intervals, dtype=np.float64))
+    est_intervals = np.atleast_2d(np.asarray(est_intervals, dtype=np.float64))
+    ref_pitches = np.asarray(ref_pitches, dtype=np.float64)
+    est_pitches = np.asarray(est_pitches, dtype=np.float64)
+    ref_velocities = np.asarray(ref_velocities, dtype=np.float64)
+    est_velocities = np.asarray(est_velocities, dtype=np.float64)
+
+    ok = _candidate_matrix(ref_intervals, ref_pitches, est_intervals,
+                           est_pitches, onset_tolerance, pitch_tolerance,
+                           offset_ratio, offset_min_tolerance)
+    base = _max_matching(ok)
+    if not base:
         return []
-    rv = np.asarray([ref_velocities[i] for i, _ in matching], dtype=np.float64)
-    ev = np.asarray([est_velocities[j] for _, j in matching], dtype=np.float64)
-    # least-squares affine est -> ref
+    rv = ref_velocities[[i for i, _ in base]]
+    ev = est_velocities[[j for _, j in base]]
+    # least-squares affine est -> ref over the timing-matched pairs
     A = np.vstack([ev, np.ones_like(ev)]).T
     (slope, intercept), *_ = np.linalg.lstsq(A, rv, rcond=None)
-    ev = slope * ev + intercept
+    est_scaled = slope * est_velocities + intercept
     norm = rv.max()
     if norm > 0:
-        rv, ev = rv / norm, ev / norm
-    return [m for m, d in zip(matching, np.abs(ev - rv))
-            if d <= velocity_tolerance]
+        ref_n = ref_velocities / norm
+        est_n = est_scaled / norm
+    else:
+        ref_n, est_n = ref_velocities, est_scaled
+    vel_ok = (np.abs(ref_n[:, None] - est_n[None, :]) <= velocity_tolerance)
+    return _max_matching(ok & vel_ok)
 
 
 def evaluate_notes(
@@ -157,7 +191,10 @@ def evaluate_notes(
             ref_intervals, est_intervals, m_noff),
     }
     if ref_velocities is not None and est_velocities is not None:
-        mv = _velocity_filter(m_off, ref_velocities, est_velocities)
+        mv = match_notes_velocity(
+            ref_intervals, ref_pitches, ref_velocities, est_intervals,
+            est_pitches, est_velocities, onset_tolerance, pitch_tolerance,
+            offset_ratio, offset_min_tolerance)
         pv, rv_, fv = _prf(len(mv), n_est, n_ref)
         out.update({"Precision_velocity": pv, "Recall_velocity": rv_,
                     "F-measure_velocity": fv})

@@ -95,6 +95,35 @@ class CheckpointManager:
     def exists(self, epoch: int, div: int) -> bool:
         return os.path.isdir(os.path.join(self.directory, _tag(epoch, div)))
 
+    def is_valid(self, epoch: int, div: int) -> bool:
+        """True only for a fully committed checkpoint.
+
+        A hard kill mid-save (real preemption without the SIGTERM grace
+        period) can leave a torn directory: the orbax state written but
+        ``host.json`` missing, or only an uncommitted orbax tmp dir.
+        ``save()`` writes the orbax state first and ``host.json`` last, so a
+        present ``host.json`` implies the state committed before it.
+        """
+        path = os.path.join(self.directory, _tag(epoch, div))
+        state = os.path.join(path, "state")
+        if not (os.path.isdir(state) and os.listdir(state)):
+            return False
+        return os.path.isfile(os.path.join(path, "host.json"))
+
+    def valid_tags(self) -> list[tuple[int, int]]:
+        """All fully committed (epoch, div) checkpoints, sorted ascending."""
+        tags = []
+        for name in os.listdir(self.directory):
+            parts = name.split("_")
+            if name.startswith("model_") and len(parts) == 3:
+                try:
+                    e, d = int(parts[1]), int(parts[2])
+                except ValueError:
+                    continue
+                if self.is_valid(e, d):
+                    tags.append((e, d))
+        return sorted(tags)
+
     def prune(self, keep: list[tuple[int, int]]) -> None:
         """Delete checkpoints not in ``keep`` (disk hygiene for long runs)."""
         tags = {_tag(e, d) for e, d in keep}

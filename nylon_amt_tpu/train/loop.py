@@ -97,7 +97,9 @@ class Trainer:
             yield
         finally:
             for sig, old in previous.items():
-                signal.signal(sig, old)
+                # A previous handler installed from C reports as None and
+                # cannot be re-installed through signal.signal.
+                signal.signal(sig, old if old is not None else signal.SIG_DFL)
 
     # -- single-shard epochs -------------------------------------------------
 
@@ -200,6 +202,13 @@ class Trainer:
         for epoch in range(epoch_start, t.epochs):
             for div in range(div_start, t.n_div_train):
                 tic = time.time()
+                # Snapshot pre-shard state + shuffle RNG: a preemption saves
+                # THESE, so resume replays the interrupted shard exactly once
+                # with the same shuffle order — bit-identical to an
+                # uninterrupted run (no double-applied batches). Copies are
+                # required because the jitted step donates the live buffers.
+                pre_state = jax.tree_util.tree_map(lambda x: x.copy(), state)
+                pre_rng = rng_state_to_json(rng)
                 ds_train = provider("train", div)
                 state, loss_train = self.train_epoch(state, ds_train, rng,
                                                      dropout_rng)
@@ -210,11 +219,11 @@ class Trainer:
                             "best_epoch": self.best_epoch,
                             "best_div": self.best_div,
                             "performance": self.performance,
-                            "np_rng": rng_state_to_json(rng),
+                            "np_rng": pre_rng,
                             "preempted": True}
-                    self.ckpt.save(epoch, div, state, host, is_best=False)
-                    log.warning("preempted: checkpoint saved at epoch %d "
-                                "div %d; resume with resume='auto'",
+                    self.ckpt.save(epoch, div, pre_state, host, is_best=False)
+                    log.warning("preempted: pre-shard checkpoint saved at "
+                                "epoch %d div %d; resume with resume='auto'",
                                 epoch, div)
                     return state
 
@@ -251,6 +260,7 @@ class Trainer:
                         "np_rng": rng_state_to_json(rng),
                         "loss_train": loss_train, "loss_valid": loss_valid}
                 self.ckpt.save(epoch, div, state, host, is_best=is_best)
+                self._apply_retention()
 
                 if self.scheduler.step(loss_valid):
                     state = state.replace(opt_state=set_learning_rate(
@@ -263,15 +273,28 @@ class Trainer:
             div_start = 0
         return state
 
+    def _apply_retention(self) -> None:
+        """Prune to {best} + the newest ``keep_checkpoints`` when configured
+        (a 20-epoch x 4-shard run otherwise keeps all 80 orbax dirs)."""
+        k = self.config.train.keep_checkpoints
+        if k is None:
+            return
+        tags = self.ckpt.valid_tags()
+        keep = set(tags[-k:]) if k > 0 else set()
+        best = self.ckpt.best_tag()
+        if best is not None:
+            keep.add(tuple(best))
+        self.ckpt.prune(sorted(keep))
+
     def latest_checkpoint(self) -> tuple[int, int] | None:
-        """Newest (epoch, div) checkpoint present on disk, if any."""
-        tags = []
-        for name in os.listdir(self.ckpt.directory):
-            if name.startswith("model_") and self.ckpt.exists(
-                    *map(int, name.split("_")[1:3])):
-                e, d = name.split("_")[1:3]
-                tags.append((int(e), int(d)))
-        return max(tags) if tags else None
+        """Newest fully committed (epoch, div) checkpoint on disk, if any.
+
+        Torn checkpoints from a hard kill mid-save (orbax state without
+        ``host.json``, or an uncommitted tmp dir) are skipped, so auto-resume
+        falls back to the newest checkpoint that can actually restore.
+        """
+        tags = self.ckpt.valid_tags()
+        return tags[-1] if tags else None
 
     def _write_manifest(self, state: TrainState) -> None:
         """Run manifest (reference ``parameter.json`` — m_training.py:162-208)."""

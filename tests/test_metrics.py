@@ -87,6 +87,37 @@ def test_velocity_mismatch_detected():
     assert out["F-measure"] == 1.0
 
 
+def test_velocity_rematch_beats_post_filter():
+    """mir_eval folds the velocity criterion into the matching (re-match),
+    not into a post-hoc filter of the timing matching. Construct a case
+    where they disagree: all notes share pitch and near-identical timing (so
+    the timing candidate graph is complete), and the rescaled velocities
+    only line up for a non-identity pairing.
+
+    Timing edges: (r1,e1), (r2,e2), (r3,e3), (r2,e3) — the unique PERFECT
+    matching is the identity (r3 reaches only e3), so the rescaling fit is
+    deterministic. ref velocities [10, 20, 30], est [10, 30, 20]: the
+    identity match fits slope 0.5 / intercept 10, rescaled est =
+    [15, 25, 20], normalized diffs vs ref = [.167, .167, .333] — a
+    post-filter keeps 0 matches. The re-match recovers (r2, e3):
+    |20/30 - 20/30| = 0.
+    """
+    from nylon_amt_tpu.metrics.transcription import match_notes_velocity
+
+    ref_iv = np.array([[0.0, 1.5], [1.0, 2.5], [1.08, 2.6]])
+    est_iv = np.array([[0.0, 1.5], [0.96, 2.5], [1.04, 2.6]])
+    pz = note_to_hz(np.array([60, 60, 60]))
+    ref_vel = np.array([10.0, 20.0, 30.0])
+    est_vel = np.array([10.0, 30.0, 20.0])
+
+    m = match_notes_velocity(ref_iv, pz, ref_vel, est_iv, pz, est_vel)
+    assert m == [(1, 2)]
+
+    out = evaluate_notes(ref_iv, pz, est_iv, pz, ref_vel, est_vel)
+    assert out["F-measure"] == 1.0
+    assert out["F-measure_velocity"] == pytest.approx(1 / 3)
+
+
 def test_empty_estimates():
     ref = _notes((0.0, 1.0, 60, 80))
     riv, rp, _ = notes_to_arrays(ref)

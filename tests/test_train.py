@@ -260,3 +260,89 @@ def test_preemption_checkpoint_and_resume(rng, tmp_path):
     # performance history (1 entry) gains exactly one more entry.
     assert len(trainer2.performance["loss_train"]) == 2
     assert not trainer2._preempt_requested
+
+
+def _toy_provider(rng, cfg):
+    feat = rng.standard_normal((60, 256)).astype(np.float32)
+    lab = {"onset": rng.random((60, 88)).astype(np.float32),
+           "offset": rng.random((60, 88)).astype(np.float32),
+           "mpe": rng.random((60, 88)) > 0.7,
+           "velocity": rng.integers(0, 127, (60, 88)).astype(np.int8)}
+    arrays = assemble_split(cfg, [feat], [lab])
+
+    def provider(split, div):
+        return WindowDataset(arrays, cfg, n_slice=8)
+
+    return provider
+
+
+def test_preempted_resume_matches_uninterrupted(rng, tmp_path):
+    """A preemption + auto-resume run reaches bit-identical final params to
+    an uninterrupted run: the preempted checkpoint snapshots PRE-shard state
+    and shuffle RNG, so the interrupted shard replays exactly once with the
+    same batch order (no double-applied batches, no shuffle drift)."""
+    import os
+    import signal
+
+    from nylon_amt_tpu.train.loop import Trainer
+
+    cfg = tiny_config(batch_size=4, epochs=2)
+    provider = _toy_provider(rng, cfg)
+
+    baseline = Trainer(cfg, str(tmp_path / "base"))
+    base_state = baseline.fit(provider)
+
+    calls = {"n": 0}
+
+    def preempting_provider(split, div):
+        ds = provider(split, div)
+        if split == "train":
+            calls["n"] += 1
+            if calls["n"] == 2:  # eviction notice during epoch 1
+                os.kill(os.getpid(), signal.SIGUSR1)
+        return ds
+
+    trainer = Trainer(cfg, str(tmp_path / "run"))
+    trainer.fit(preempting_provider)
+    trainer2 = Trainer(cfg, str(tmp_path / "run"))
+    resumed_state = trainer2.fit(provider, resume="auto")
+
+    for a, b in zip(jax.tree_util.tree_leaves(base_state.params),
+                    jax.tree_util.tree_leaves(resumed_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert trainer2.performance["loss_train"] == baseline.performance["loss_train"]
+
+
+def test_latest_checkpoint_skips_torn(rng, tmp_path):
+    """A hard kill between the orbax state write and host.json leaves a torn
+    checkpoint; auto-resume must fall back to the newest restorable one."""
+    import os
+
+    from nylon_amt_tpu.train.loop import Trainer
+
+    cfg = tiny_config(batch_size=4, epochs=2)
+    trainer = Trainer(cfg, str(tmp_path / "run"))
+    trainer.fit(_toy_provider(rng, cfg))
+    assert trainer.latest_checkpoint() == (1, 0)
+
+    # Simulate the torn save: host.json missing on the newest checkpoint.
+    os.remove(os.path.join(trainer.ckpt.directory, "model_001_000",
+                           "host.json"))
+    assert trainer.latest_checkpoint() == (0, 0)
+    # resume="auto" restores (0, 0) and completes without crashing.
+    trainer2 = Trainer(cfg, str(tmp_path / "run"))
+    trainer2.fit(_toy_provider(rng, cfg), resume="auto")
+    assert trainer2.ckpt.is_valid(1, 0)
+
+
+def test_checkpoint_retention(rng, tmp_path):
+    """keep_checkpoints=1 retains only {best} + newest after each save."""
+    from nylon_amt_tpu.train.loop import Trainer
+
+    cfg = tiny_config(batch_size=4, epochs=3, keep_checkpoints=1)
+    trainer = Trainer(cfg, str(tmp_path / "run"))
+    trainer.fit(_toy_provider(rng, cfg))
+    kept = trainer.ckpt.valid_tags()
+    expected = {(2, 0), (trainer.best_epoch, trainer.best_div)}
+    assert set(kept) == expected
+    assert len(kept) <= 2
