@@ -125,7 +125,8 @@ def cmd_train(args) -> int:
     trainer = Trainer(config, args.out, mesh=mesh)
     resume = ("auto" if args.resume_auto
               else tuple(args.resume) if args.resume else None)
-    trainer.fit(provider, resume=resume, metrics_fn=metrics_fn)
+    trainer.fit(provider, resume=resume, metrics_fn=metrics_fn,
+                valid_test=args.valid_test)
     print(f"training done; best valid loss {trainer.best_loss_valid:.5f} "
           f"(epoch {trainer.best_epoch} div {trainer.best_div})")
     return 0
@@ -153,21 +154,46 @@ def cmd_transcribe(args) -> int:
     params = _load_params(args, config)
     tr = Transcriber(config, params=params, batch_windows=args.batch_windows)
 
-    for wav in args.wav:
+    wavs = list(args.wav or [])
+    if args.list:
+        # Corpus-driven batch mode: iterate a lists dir the way the
+        # reference's EXE-EVALUATION-MAESTRO.sh feeds m_inference.py.
+        from nylon_amt_tpu.data.lists import CorpusList
+
+        cl = CorpusList.load(args.list)
+        wavs += [w for _, w, _ in cl.entries[args.split]]
+    if not wavs:
+        print("transcribe: no input (--wav or --list required)",
+              file=sys.stderr)
+        return 2
+
+    # Head families, reference naming: stage-1 "A" heads -> _1st, stage-2
+    # "B" heads -> _2nd; single mode emits only _1st
+    # (m_inference.py:142-165).
+    families = ([("1st", "A"), ("2nd", "B")] if args.mode == "combination"
+                else [("1st", "A")])
+
+    for wav in wavs:
         feature = tr.wav2feature(wav)
         if args.stride >= 0:
             post = tr.transcript_stride(feature, args.stride, mode=args.mode)
         else:
             post = tr.transcript(feature, mode=args.mode)
-        fam = "B" if args.mode == "combination" else "A"
-        notes = tr.mpe2note(
-            post[f"onset_{fam}"], post[f"offset_{fam}"], post[f"mpe_{fam}"],
-            post[f"velocity_{fam}"], thred_onset=args.thred_onset,
-            thred_offset=args.thred_offset, thred_mpe=args.thred_mpe,
-            mode_offset=args.mode_offset)
         stem = os.path.splitext(os.path.basename(wav))[0]
         out_dir = args.out or os.path.dirname(wav) or "."
         os.makedirs(out_dir, exist_ok=True)
+        notes = []
+        for suffix, fam in families:
+            notes = tr.mpe2note(
+                post[f"onset_{fam}"], post[f"offset_{fam}"],
+                post[f"mpe_{fam}"], post[f"velocity_{fam}"],
+                thred_onset=args.thred_onset, thred_offset=args.thred_offset,
+                thred_mpe=args.thred_mpe, mode_offset=args.mode_offset)
+            with open(os.path.join(out_dir, f"{stem}_{suffix}.notes.json"),
+                      "w") as f:
+                json.dump(notes, f, indent=2)
+        # MIDI from the last-decoded family (B in combination — the
+        # stronger head per the hFT paper; A in single mode).
         write_notes(os.path.join(out_dir, stem + ".mid"), notes)
         with open(os.path.join(out_dir, stem + ".notes.json"), "w") as f:
             json.dump(notes, f, indent=2)
@@ -282,6 +308,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--n-model", type=int, default=1, help="TP mesh size")
     t.add_argument("--test-metrics", action="store_true",
                    help="run the final test pass with note P/R/F1")
+    t.add_argument("--valid-test", action="store_true",
+                   help="also compute the test-split loss every (epoch, div) "
+                        "(reference -valid_test)")
     t.set_defaults(fn=cmd_train)
 
     r = sub.add_parser("transcribe", help="WAV -> MIDI")
@@ -290,7 +319,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="orbax checkpoint dir, or reference .pkl/.dat")
     r.add_argument("--epoch", type=int)
     r.add_argument("--div", type=int)
-    r.add_argument("--wav", nargs="+", required=True)
+    r.add_argument("--wav", nargs="+")
+    r.add_argument("--list", help="lists dir (from `corpus`); transcribe "
+                                  "every file of --split (batch mode)")
+    r.add_argument("--split", default="test",
+                   choices=["train", "valid", "test"])
     r.add_argument("--out")
     r.add_argument("--mode", choices=["combination", "single"],
                    default="combination")

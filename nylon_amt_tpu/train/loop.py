@@ -144,7 +144,15 @@ class Trainer:
         state: TrainState | None = None,
         resume: tuple[int, int] | None = None,
         metrics_fn: Callable | None = None,
+        valid_test: bool = False,
     ) -> TrainState:
+        """Run the (epoch, div) schedule.
+
+        ``valid_test=True`` additionally computes the test-split loss after
+        every (epoch, div) and records it in ``performance["loss_test"]``
+        (the reference ablation trainer's ``-valid_test`` option —
+        ``m_training_ablation.py:449-492``).
+        """
         cfg = self.config
         t = cfg.train
         self._preempt_requested = False
@@ -183,10 +191,13 @@ class Trainer:
                     div_start = 0
 
         valid_shards = [provider("valid", d) for d in range(t.n_div_valid)]
+        test_shards = ([provider("test", d) for d in range(t.n_div_test)]
+                       if valid_test else None)
 
         with self._preemption_guard():
             state = self._fit_loop(provider, state, rng, dropout_rng,
-                                   valid_shards, epoch_start, div_start)
+                                   valid_shards, epoch_start, div_start,
+                                   test_shards)
 
         if metrics_fn is not None and not self._preempt_requested:
             test_shards = [provider("test", d) for d in range(t.n_div_test)]
@@ -197,7 +208,7 @@ class Trainer:
         return state
 
     def _fit_loop(self, provider, state, rng, dropout_rng, valid_shards,
-                  epoch_start, div_start):
+                  epoch_start, div_start, test_shards=None):
         t = self.config.train
         for epoch in range(epoch_start, t.epochs):
             for div in range(div_start, t.n_div_train):
@@ -238,6 +249,16 @@ class Trainer:
                 if is_best:
                     self.best_loss_valid = loss_valid
                     self.best_epoch, self.best_div = epoch, div
+
+                if test_shards is not None:
+                    loss_test, n_test = 0.0, 0
+                    for ts in test_shards:
+                        lt, nt = self.valid_epoch(state, ts)
+                        loss_test += lt
+                        n_test += nt
+                    loss_test /= max(n_test, 1)
+                    self.performance.setdefault("loss_test", []).append(
+                        loss_test)
 
                 self.performance["loss_train"].append(loss_train)
                 self.performance["loss_valid"].append(loss_valid)

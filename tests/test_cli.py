@@ -1,0 +1,122 @@
+"""CLI end-to-end tests (reference EXE shells / m_inference.py parity)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from nylon_amt_tpu.cli import main
+from nylon_amt_tpu.config import Config, ModelConfig, TrainConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return Config(
+        model=ModelConfig(hid_dim=16, pf_dim=32, enc_layer=1, dec_layer=1,
+                          enc_head=2, dec_head=2, dropout=0.0),
+        train=TrainConfig(batch_size=4, epochs=1, n_slice=8),
+    )
+
+
+@pytest.fixture(scope="module")
+def workdir(tiny_cfg, tmp_path_factory):
+    """Config JSON + synthetic wav/midi fixtures + a saved checkpoint."""
+    from nylon_amt_tpu.midi.smf import write_notes
+    from nylon_amt_tpu.train.checkpoint import CheckpointManager
+    from nylon_amt_tpu.train.step import create_train_state
+    from nylon_amt_tpu.utils.wavio import save_wav
+
+    d = tmp_path_factory.mktemp("cli")
+    with open(d / "config.json", "w") as f:
+        json.dump(tiny_cfg.to_dict(), f)
+
+    sr = tiny_cfg.feature.sr
+    t = np.arange(3 * sr) / sr
+    rng = np.random.default_rng(0)
+    os.makedirs(d / "lists", exist_ok=True)
+    for split, names in (("test", ["te0", "te1"]), ("valid", ["va0"]),
+                         ("train", ["tr0"])):
+        with open(d / "lists" / f"{split}.tsv", "w") as f:
+            for n in names:
+                wav = (0.3 * np.sin(2 * np.pi * 262 * t)
+                       + 0.01 * rng.standard_normal(t.size))
+                save_wav(str(d / f"{n}.wav"), wav[:, None].astype(np.float32),
+                         sr)
+                write_notes(str(d / f"{n}.mid"),
+                            [{"onset": 0.1, "offset": 1.0, "pitch": 60,
+                              "velocity": 80}])
+                f.write(f"{n}\t{d / (n + '.wav')}\t{d / (n + '.mid')}\n")
+
+    state = create_train_state(tiny_cfg, jax.random.key(0))
+    mgr = CheckpointManager(str(d / "ckpt"))
+    mgr.save(0, 0, state, {"note": "cli fixture"}, is_best=True)
+    return d
+
+
+def test_transcribe_combination_writes_both_families(workdir):
+    """Combination mode must emit _1st (A heads) and _2nd (B heads) note
+    JSONs per file, like m_inference.py:142-165."""
+    out = workdir / "out_comb"
+    rc = main(["transcribe", "--config", str(workdir / "config.json"),
+               "--checkpoint", str(workdir / "ckpt"),
+               "--wav", str(workdir / "te0.wav"), "--out", str(out)])
+    assert rc == 0
+    assert (out / "te0_1st.notes.json").exists()
+    assert (out / "te0_2nd.notes.json").exists()
+    assert (out / "te0.mid").exists()
+    # The primary JSON mirrors the 2nd (B-head) decode in combination mode.
+    with open(out / "te0.notes.json") as f:
+        primary = json.load(f)
+    with open(out / "te0_2nd.notes.json") as f:
+        second = json.load(f)
+    assert primary == second
+
+
+def test_transcribe_single_mode_writes_first_only(workdir):
+    out = workdir / "out_single"
+    rc = main(["transcribe", "--config", str(workdir / "config.json"),
+               "--checkpoint", str(workdir / "ckpt"), "--mode", "single",
+               "--wav", str(workdir / "te0.wav"), "--out", str(out)])
+    assert rc == 0
+    assert (out / "te0_1st.notes.json").exists()
+    assert not (out / "te0_2nd.notes.json").exists()
+
+
+def test_transcribe_batch_list_mode(workdir):
+    """--list iterates every file of the split (EXE-EVALUATION flow)."""
+    out = workdir / "out_batch"
+    rc = main(["transcribe", "--config", str(workdir / "config.json"),
+               "--checkpoint", str(workdir / "ckpt"),
+               "--list", str(workdir / "lists"), "--split", "test",
+               "--out", str(out)])
+    assert rc == 0
+    for stem in ("te0", "te1"):
+        assert (out / f"{stem}_1st.notes.json").exists()
+        assert (out / f"{stem}_2nd.notes.json").exists()
+
+
+def test_transcribe_requires_input(workdir):
+    rc = main(["transcribe", "--config", str(workdir / "config.json"),
+               "--checkpoint", str(workdir / "ckpt")])
+    assert rc == 2
+
+
+def test_train_valid_test_records_test_loss(workdir, tmp_path):
+    """--valid-test appends the test-split loss each (epoch, div)
+    (reference m_training_ablation.py -valid_test)."""
+    corpus = tmp_path / "corpus"
+    rc = main(["corpus", "--config", str(workdir / "config.json"),
+               "--lists", str(workdir / "lists"), "--out", str(corpus)])
+    assert rc == 0
+    run = tmp_path / "run"
+    rc = main(["train", "--config", str(workdir / "config.json"),
+               "--dataset", str(corpus), "--out", str(run),
+               "--valid-test", "--epochs", "1"])
+    assert rc == 0
+    with open(run / "performance.json") as f:
+        perf = json.load(f)
+    assert len(perf["loss_test"]) == len(perf["loss_train"]) == 1
+    assert np.isfinite(perf["loss_test"][0])
