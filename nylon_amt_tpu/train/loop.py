@@ -6,9 +6,10 @@ validation loss. After all epochs, an optional test pass computes note-level
 P/R/F1 (the reference's ``valid(..., metrics=True)`` — ``train.py:178-251``).
 
 TPU specifics: the step is jitted once and reused across shards (static
-shapes via batch padding); batches stream through an async two-deep
-host->device pipeline; under a mesh, batches are sharded on the data axis
-and XLA reduces gradients over ICI.
+shapes via batch padding); the host gather + H2D enqueue run on a
+background prefetch thread two batches deep (``data/prefetch.py``), so
+input feeding overlaps device compute; under a mesh, batches are sharded
+on the data axis and XLA reduces gradients over ICI.
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ import jax
 import numpy as np
 
 from nylon_amt_tpu.config import Config
+from nylon_amt_tpu.data.prefetch import prefetch
 from nylon_amt_tpu.data.windows import WindowDataset
 from nylon_amt_tpu.parallel.mesh import shard_batch, shard_params
 from nylon_amt_tpu.train.checkpoint import CheckpointManager, rng_state_to_json
@@ -116,11 +118,16 @@ class Trainer:
         # Keep per-step losses as device scalars and fetch once per epoch:
         # a host sync every step serializes the async dispatch pipeline
         # (measured 217 ms/step vs 26 ms/step raw through the TPU tunnel).
-        for batch in ds.batches(bs, shuffle=True, rng=rng, pad_to_batch=True):
+        # The gather + device_put run on the prefetch thread, 2 batches
+        # ahead, overlapping device compute.
+        batches = prefetch(
+            ds.batches(bs, shuffle=True, rng=rng, pad_to_batch=True),
+            transfer=self._put)
+        for batch in batches:
             if self._preempt_requested:
+                batches.close()
                 break
-            state, metrics = self.train_step(state, self._put(batch),
-                                             dropout_rng)
+            state, metrics = self.train_step(state, batch, dropout_rng)
             losses.append(metrics["loss"])
             n += 1
         total = float(np.sum(jax.device_get(losses))) if losses else 0.0
@@ -129,8 +136,10 @@ class Trainer:
     def valid_epoch(self, state: TrainState, ds: WindowDataset) -> tuple[float, int]:
         bs = self.config.train.batch_size
         losses, n = [], 0
-        for batch in ds.batches(bs, shuffle=False, pad_to_batch=True):
-            metrics = self.eval_step(state, self._put(batch))
+        for batch in prefetch(ds.batches(bs, shuffle=False,
+                                         pad_to_batch=True),
+                              transfer=self._put):
+            metrics = self.eval_step(state, batch)
             losses.append(metrics["loss"])
             n += 1
         total = float(np.sum(jax.device_get(losses))) if losses else 0.0

@@ -19,11 +19,72 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def run_e2e(config, args) -> dict:
+    """End-to-end epoch loop: real WindowDataset gathers feeding the jitted
+    step through the background prefetch thread (the production input path),
+    vs the compute-only scan number. Per-step losses stay on device; one
+    fetch at the end closes the pipeline.
+    """
+    import jax
+
+    from nylon_amt_tpu.data.corpus import assemble_split
+    from nylon_amt_tpu.data.prefetch import prefetch
+    from nylon_amt_tpu.data.windows import WindowDataset
+    from nylon_amt_tpu.train.step import create_train_state, make_train_step
+
+    B = args.batch
+    n_steps = args.iters * 3
+    rng = np.random.default_rng(0)
+    frames = n_steps * B + 256
+    feat = rng.standard_normal((frames, 256)).astype(np.float32)
+    lab = {"onset": (rng.random((frames, 88)) > 0.97).astype(np.float32),
+           "offset": (rng.random((frames, 88)) > 0.97).astype(np.float32),
+           "mpe": rng.random((frames, 88)) > 0.9,
+           "velocity": rng.integers(0, 127, (frames, 88)).astype(np.int8)}
+    arrays = assemble_split(config, [feat], [lab])
+    ds = WindowDataset(arrays, config, n_slice=1)
+
+    state = create_train_state(config, jax.random.key(0), batch_size=B)
+    step = make_train_step(config)
+    key = jax.random.key(1)
+    shuffle_rng = np.random.default_rng(1)
+
+    def epoch(state, max_steps):
+        losses, n = [], 0
+        for batch in prefetch(ds.batches(B, shuffle=True, rng=shuffle_rng,
+                                         pad_to_batch=True, drop_last=True),
+                              transfer=jax.device_put):
+            state, metrics = step(state, batch, key)
+            losses.append(metrics["loss"])
+            n += 1
+            if n >= max_steps:
+                break
+        float(jax.device_get(losses[-1]))  # close the pipeline
+        return state, n
+
+    t0 = time.time()
+    state, _ = epoch(state, 3)  # compile + warmup
+    print(f"# e2e compile+warmup: {time.time() - t0:.0f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    state, n = epoch(state, n_steps)
+    dt = (time.perf_counter() - t0) / n
+
+    sec_per_window = (config.input.num_frame * config.feature.hop_sample
+                      / config.feature.sr)
+    return {"e2e_step_ms": round(dt * 1e3, 1),
+            "e2e_audio_sec_per_sec": round(B * sec_per_window / dt, 2),
+            "e2e_steps": n}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--dropout", type=float, default=0.1)
+    ap.add_argument("--e2e", action="store_true",
+                    help="also time the real input pipeline (WindowDataset "
+                         "gather + prefetch thread + device_put per step)")
     args = ap.parse_args()
 
     import jax
@@ -79,14 +140,19 @@ def main() -> None:
     sec_per_window = (config.input.num_frame * config.feature.hop_sample
                       / config.feature.sr)
     audio_per_sec = B * sec_per_window / dt
-    print(json.dumps({
+    out = {
         "metric": "train_audio_sec_per_sec_per_chip",
         "value": round(audio_per_sec, 2),
         "unit": "audio_sec/sec/chip",
         "step_ms": round(dt * 1e3, 1),
         "batch": B,
         "dropout": args.dropout,
-    }))
+    }
+    if args.e2e:
+        out.update(run_e2e(config, args))
+        out["e2e_vs_compute_only"] = round(
+            out["e2e_audio_sec_per_sec"] / audio_per_sec, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
