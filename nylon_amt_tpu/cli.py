@@ -103,8 +103,21 @@ def cmd_train(args) -> int:
         config = dataclasses.replace(
             config, model=dataclasses.replace(config.model, remat=True))
 
+    if args.multihost or args.coordinator:
+        # Multi-host (e.g. v5e-16 = 4 hosts x 4 chips): every process runs
+        # this same command; on a TPU pod slice all coordinates are
+        # auto-detected, elsewhere pass --coordinator/--num-processes/
+        # --process-id explicitly.
+        from nylon_amt_tpu.parallel.distributed import initialize
+
+        initialize(coordinator_address=args.coordinator,
+                   num_processes=args.num_processes,
+                   process_id=args.process_id)
+
+    import jax
+
     mesh = None
-    if args.n_data or args.n_model > 1:
+    if args.n_data or args.n_model > 1 or jax.process_count() > 1:
         mesh = make_mesh(n_data=args.n_data, n_model=args.n_model)
 
     t = config.train
@@ -306,6 +319,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "backward pass (gradient checkpointing)")
     t.add_argument("--n-data", type=int, help="data-parallel mesh size")
     t.add_argument("--n-model", type=int, default=1, help="TP mesh size")
+    t.add_argument("--multihost", action="store_true",
+                   help="initialize multi-host execution (auto-detected "
+                        "coordinates on a TPU pod slice)")
+    t.add_argument("--coordinator", help="coordinator address host:port "
+                                         "(manual multi-host rigs)")
+    t.add_argument("--num-processes", type=int)
+    t.add_argument("--process-id", type=int)
     t.add_argument("--test-metrics", action="store_true",
                    help="run the final test pass with note P/R/F1")
     t.add_argument("--valid-test", action="store_true",

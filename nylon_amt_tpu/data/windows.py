@@ -59,18 +59,33 @@ class WindowDataset:
         rng: np.random.Generator | None = None,
         drop_last: bool = False,
         pad_to_batch: bool = False,
+        process_index: int = 0,
+        process_count: int = 1,
     ) -> Iterator[dict[str, np.ndarray]]:
         """Iterate batches for one epoch.
 
         ``pad_to_batch`` repeats trailing windows so every batch has a static
         shape (keeps XLA from recompiling on the last partial batch); a
         ``valid`` mask marks real rows.
+
+        Multi-host: ``batch_size`` is the GLOBAL batch size. Every process
+        walks the identical global order (callers seed ``rng`` identically)
+        and gathers only its ``batch_size / process_count``-row slice of
+        each global batch; ``shard_batch`` then assembles the global device
+        array from the per-process rows. With ``process_count=1`` this is
+        the plain single-host iterator.
         """
+        if batch_size % process_count:
+            raise ValueError(f"batch_size {batch_size} must divide across "
+                             f"{process_count} processes")
+        local = batch_size // process_count
+        lo, hi = process_index * local, (process_index + 1) * local
         order = np.arange(len(self.idx))
         if shuffle:
             (rng or np.random.default_rng()).shuffle(order)
         for i in range(0, len(order), batch_size):
             pos = order[i : i + batch_size]
+            mask = None
             if len(pos) < batch_size:
                 if drop_last:
                     return
@@ -78,15 +93,21 @@ class WindowDataset:
                     n_valid = len(pos)
                     pos = np.concatenate(
                         [pos, np.resize(pos, batch_size - n_valid)])
-                    batch = self.gather(pos)
                     mask = np.zeros(batch_size, np.float32)
                     mask[:n_valid] = 1.0
-                    batch["valid"] = mask
-                    yield batch
-                    return
-            batch = self.gather(pos)
-            batch["valid"] = np.ones(len(pos), np.float32)
+                else:
+                    # ragged tail: only meaningful single-process (a global
+                    # array needs equal per-process rows)
+                    if process_count > 1:
+                        raise ValueError("multi-host iteration requires "
+                                         "pad_to_batch or drop_last")
+            if mask is None:
+                mask = np.ones(len(pos), np.float32)
+            batch = self.gather(pos[lo:hi] if process_count > 1 else pos)
+            batch["valid"] = mask[lo:hi] if process_count > 1 else mask
             yield batch
+            if len(mask) < batch_size or not mask.all():
+                return  # that was the (padded) tail batch
 
     @property
     def steps_per_epoch(self) -> int:

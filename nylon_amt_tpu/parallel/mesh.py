@@ -85,7 +85,32 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
 
 
+def replicate_state(state: Any, mesh: Mesh) -> Any:
+    """Fully replicate a train state's arrays over the (multi-host) mesh.
+
+    Multi-host runs are DP-only (the hFT model is <10 M params — TP across
+    hosts is never worth the DCN hops): every leaf (params, optimizer
+    moments, step) becomes a global array replicated on all devices of all
+    processes. Each process supplies its host-local copy (identical by
+    construction: same init key / same restore).
+    """
+    repl = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Shard each batch array along its leading (batch) dimension."""
+    """Shard each batch array along its leading (batch) dimension.
+
+    Single process: a plain async ``device_put`` onto the data axis.
+    Multi-process (multi-host): ``batch`` holds only this process's rows of
+    the global batch; the global array is assembled from the per-process
+    local data — each host transfers only what it loaded
+    (``jax.make_array_from_process_local_data``), no cross-host gather of
+    raw input.
+    """
     sharding = NamedSharding(mesh, batch_spec())
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(v))
+                for k, v in batch.items()}
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}

@@ -45,7 +45,12 @@ class CheckpointManager:
 
     def save(self, epoch: int, div: int, state, host_state: dict,
              is_best: bool = False) -> str:
-        """Persist device state (params/opt_state/step) + host-side JSON."""
+        """Persist device state (params/opt_state/step) + host-side JSON.
+
+        Multi-host: every process must call this (the orbax save is a
+        collective over the shared checkpoint directory); host-side JSON
+        artifacts are written by process 0 only.
+        """
         path = os.path.join(self.directory, _tag(epoch, div))
         tree = {"params": state.params, "opt_state": state.opt_state,
                 "step": state.step}
@@ -55,6 +60,8 @@ class CheckpointManager:
         # StandardCheckpointer saves asynchronously; block so the checkpoint
         # is durable when save() returns (the reference's torch.save is sync).
         self._ckptr.wait_until_finished()
+        if jax.process_index() != 0:
+            return path
         with open(os.path.join(path, "host.json"), "w", encoding="utf-8") as f:
             json.dump(host_state, f, indent=2)
         if is_best:

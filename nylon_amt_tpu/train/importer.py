@@ -161,9 +161,12 @@ def convert_state_dict(
         path, tf = rules[key]
         if tf == "skip":
             continue
-        arr = np.asarray(getattr(tensor, "detach", lambda: tensor)().numpy()
-                         if hasattr(tensor, "detach") else tensor,
-                         dtype=np.float32)
+        # np.array (not asarray): torch's .numpy() shares memory with the
+        # live parameter tensor — without the copy, converted params would
+        # silently track any further torch training steps.
+        arr = np.array(getattr(tensor, "detach", lambda: tensor)().numpy()
+                       if hasattr(tensor, "detach") else tensor,
+                       dtype=np.float32, copy=True)
         if tf == _TRANSPOSE:
             arr = arr.T
         elif tf == "conv":

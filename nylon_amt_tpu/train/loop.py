@@ -28,7 +28,13 @@ import numpy as np
 from nylon_amt_tpu.config import Config
 from nylon_amt_tpu.data.prefetch import prefetch
 from nylon_amt_tpu.data.windows import WindowDataset
-from nylon_amt_tpu.parallel.mesh import shard_batch, shard_params
+from nylon_amt_tpu.parallel.distributed import is_coordinator
+from nylon_amt_tpu.parallel.mesh import (
+    MODEL_AXIS,
+    replicate_state,
+    shard_batch,
+    shard_params,
+)
 from nylon_amt_tpu.train.checkpoint import CheckpointManager, rng_state_to_json
 from nylon_amt_tpu.train.plateau import ReduceLROnPlateau
 from nylon_amt_tpu.train.step import (
@@ -121,7 +127,9 @@ class Trainer:
         # The gather + device_put run on the prefetch thread, 2 batches
         # ahead, overlapping device compute.
         batches = prefetch(
-            ds.batches(bs, shuffle=True, rng=rng, pad_to_batch=True),
+            ds.batches(bs, shuffle=True, rng=rng, pad_to_batch=True,
+                       process_index=jax.process_index(),
+                       process_count=jax.process_count()),
             transfer=self._put)
         for batch in batches:
             if self._preempt_requested:
@@ -137,7 +145,9 @@ class Trainer:
         bs = self.config.train.batch_size
         losses, n = [], 0
         for batch in prefetch(ds.batches(bs, shuffle=False,
-                                         pad_to_batch=True),
+                                         pad_to_batch=True,
+                                         process_index=jax.process_index(),
+                                         process_count=jax.process_count()),
                               transfer=self._put):
             metrics = self.eval_step(state, batch)
             losses.append(metrics["loss"])
@@ -168,11 +178,23 @@ class Trainer:
         rng = np.random.default_rng(t.seed)
         dropout_rng = jax.random.key(t.seed)
 
+        if jax.process_count() > 1:
+            if self.mesh is None:
+                raise ValueError("multi-process training requires a mesh")
+            if self.mesh.shape.get(MODEL_AXIS, 1) > 1:
+                raise NotImplementedError(
+                    "TP across hosts is not supported (DP-only multi-host; "
+                    "the model is far too small to split over DCN)")
         if state is None:
             state = create_train_state(cfg, jax.random.key(t.seed),
                                        batch_size=t.batch_size)
         if self.mesh is not None:
-            state = state.replace(params=shard_params(state.params, self.mesh))
+            if jax.process_count() > 1:
+                # Multi-host: every leaf becomes a global replicated array.
+                state = replicate_state(state, self.mesh)
+            else:
+                state = state.replace(
+                    params=shard_params(state.params, self.mesh))
 
         self._write_manifest(state)
 
@@ -211,9 +233,11 @@ class Trainer:
         if metrics_fn is not None and not self._preempt_requested:
             test_shards = [provider("test", d) for d in range(t.n_div_test)]
             results = metrics_fn(state, test_shards)
-            with open(os.path.join(self.out_dir, "test_performance.json"), "w",
-                      encoding="utf-8") as f:
-                json.dump(results, f, indent=4)
+            if is_coordinator():
+                with open(os.path.join(self.out_dir,
+                                       "test_performance.json"), "w",
+                          encoding="utf-8") as f:
+                    json.dump(results, f, indent=4)
         return state
 
     def _fit_loop(self, provider, state, rng, dropout_rng, valid_shards,
@@ -278,9 +302,11 @@ class Trainer:
                     current_epoch=epoch, current_div=div,
                     best_epoch=self.best_epoch, best_div=self.best_div,
                     best_loss_valid=self.best_loss_valid)
-                with open(os.path.join(self.out_dir, "performance.json"), "w",
-                          encoding="utf-8") as f:
-                    json.dump(self.performance, f, indent=4, sort_keys=True)
+                if is_coordinator():
+                    with open(os.path.join(self.out_dir, "performance.json"),
+                              "w", encoding="utf-8") as f:
+                        json.dump(self.performance, f, indent=4,
+                                  sort_keys=True)
 
                 host = {"scheduler": self.scheduler.state_dict(),
                         "best_loss_valid": self.best_loss_valid,
@@ -307,7 +333,7 @@ class Trainer:
         """Prune to {best} + the newest ``keep_checkpoints`` when configured
         (a 20-epoch x 4-shard run otherwise keeps all 80 orbax dirs)."""
         k = self.config.train.keep_checkpoints
-        if k is None:
+        if k is None or not is_coordinator():
             return
         tags = self.ckpt.valid_tags()
         keep = set(tags[-k:]) if k > 0 else set()
@@ -328,11 +354,14 @@ class Trainer:
 
     def _write_manifest(self, state: TrainState) -> None:
         """Run manifest (reference ``parameter.json`` — m_training.py:162-208)."""
+        if not is_coordinator():
+            return
         n_params = sum(int(np.prod(p.shape))
                        for p in jax.tree_util.tree_leaves(state.params))
         manifest = {"config": self.config.to_dict(), "parameters": n_params,
                     "d_output": self.out_dir,
                     "devices": [str(d) for d in jax.devices()],
+                    "processes": jax.process_count(),
                     "mesh": str(self.mesh) if self.mesh else None}
         with open(os.path.join(self.out_dir, "parameter.json"), "w",
                   encoding="utf-8") as f:
