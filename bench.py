@@ -2,8 +2,10 @@
 
 Measures batched sliding-window inference on the paper-scale hFT model
 (d=256, ff=512, 3+3 layers, 4+4 heads — the reference's parity target,
-``m_training_ablation.py:50-57``) in bfloat16 compute, and reports
-transcribed audio seconds per wall second per chip.
+``m_training_ablation.py:50-57``) in bfloat16 compute through the
+fused-layer inference engine (``infer/engine.py``), and reports transcribed
+audio seconds per wall second per chip, plus diagnostics: forward
+wall-time, model FLOPs, and MFU against the v5e bf16 peak.
 
 Baseline: the driver's north-star target of 20x real time per chip
 (BASELINE.json); ``vs_baseline`` = value / 20.
@@ -21,9 +23,45 @@ import jax.numpy as jnp
 import numpy as np
 
 from nylon_amt_tpu.config import Config, ModelConfig
+from nylon_amt_tpu.infer import engine
 from nylon_amt_tpu.models.hft import build_model, init_params
 
 BASELINE_AUDIO_SEC_PER_SEC = 20.0  # north-star: 20x real time per chip
+V5E_BF16_PEAK_TFLOPS = 197.0       # per-chip MXU peak (public v5e spec)
+
+
+def model_forward_flops(config: Config, batch: int) -> float:
+    """Matmul FLOPs of one deterministic forward (2*M*K*N per matmul):
+    projections, attention scores/PV, FFNs, and output heads. The conv stem
+    (~0.5%) is included; LayerNorm/softmax VPU work is not (MFU convention).
+    """
+    m = config.model
+    hid, pf = m.hid_dim, m.pf_dim
+    nf, nb = config.input.num_frame, config.feature.n_bins
+    nn_, nv = config.midi.num_note, config.midi.num_velocity
+    B = batch
+    enc_tokens = B * nf * nb
+    q_tokens = B * nf * nn_
+    t_tokens = B * nn_ * nf
+
+    def attn(n_seqs, lq, lk):
+        return 2 * n_seqs * lq * lk * hid * 2
+
+    # frequency encoder: QKVO + attention + FFN per layer
+    enc_layer = (4 * 2 * enc_tokens * hid * hid + attn(B * nf, nb, nb)
+                 + 2 * 2 * enc_tokens * hid * pf)
+    # stage-1 decoder: layer 0 = q/kv/o + cross-attn + FFN; later layers add
+    # self-attention on the 88 queries
+    dec0 = (2 * q_tokens * hid * hid * 2 + 2 * enc_tokens * hid * hid * 2
+            + attn(B * nf, nn_, nb) + 2 * 2 * q_tokens * hid * pf)
+    dec_full = dec0 + 4 * 2 * q_tokens * hid * hid + attn(B * nf, nn_, nn_)
+    # stage-2 time encoder
+    t_layer = (4 * 2 * t_tokens * hid * hid + attn(B * nn_, nf, nf)
+               + 2 * 2 * t_tokens * hid * pf)
+    heads = 2 * q_tokens * hid * (3 + nv) * 2           # A + B head families
+    stem = 2 * B * nb * nf * (2 * config.input.margin_b + 1) * hid
+    return float(m.enc_layer * enc_layer + dec0 + (m.dec_layer - 1) * dec_full
+                 + m.dec_layer * t_layer + heads + stem)
 
 
 def main() -> None:
@@ -44,7 +82,7 @@ def main() -> None:
                       / config.feature.sr)  # 2.048 s
 
     def posteriors(spec):
-        out = model.apply({"params": params}, spec, deterministic=True)
+        out = engine.forward(params, spec, config)
         # Posterior outputs exactly as transcription consumes them.
         return (jax.nn.sigmoid(out["onset_B"]), jax.nn.sigmoid(out["offset_B"]),
                 jax.nn.sigmoid(out["mpe_B"]),
@@ -79,11 +117,16 @@ def main() -> None:
     float(forward_n(spec))
     dt = (time.perf_counter() - t0) / iters
     audio_sec_per_sec = batch * sec_per_window / dt
+    flops = model_forward_flops(config, batch)
     print(json.dumps({
         "metric": "transcribe_audio_sec_per_sec_per_chip",
         "value": round(audio_sec_per_sec, 2),
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(audio_sec_per_sec / BASELINE_AUDIO_SEC_PER_SEC, 3),
+        "ms_per_batch32_forward": round(dt * 1e3, 2),
+        "model_tflops_per_forward": round(flops / 1e12, 3),
+        "mfu_vs_v5e_bf16_peak": round(flops / dt / 1e12
+                                      / V5E_BF16_PEAK_TFLOPS, 3),
     }))
 
 

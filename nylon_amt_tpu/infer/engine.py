@@ -1,0 +1,184 @@
+"""Flax-free fused inference engine for the hFT model.
+
+``forward(params, spec, config)`` reproduces the deterministic
+``HFT.apply`` output dict (minus the attention map) using the whole-layer
+fused Pallas kernels of :mod:`nylon_amt_tpu.ops.layer_fused`: each
+transformer layer is one kernel that keeps its weights resident in VMEM and
+streams the activations through exactly once, instead of the ~8 HBM passes
+per layer the layer-wise graph costs. At hid_dim 256 the model is
+HBM-bandwidth-bound, so this is the transcription-throughput path
+(the reference's hot loop, ``amt.py:88-96``).
+
+Weight packing happens at trace time from the ordinary flax param pytree —
+checkpoints, the torch importer, and training are unaffected. Parity with
+``model.apply`` is covered by tests in both f32 (tight) and bf16.
+
+Training and the attention-map path (``return_attention``) keep the flax
+module; this engine is deterministic-forward only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from nylon_amt_tpu.config import Config
+from nylon_amt_tpu.models.hft import fused_stem
+from nylon_amt_tpu.ops.layer_fused import (
+    CrossLayerParams,
+    EncoderLayerParams,
+    decoder_layer,
+    decoder_layer_zero,
+    encoder_layer,
+)
+
+
+def _dt(config: Config):
+    return {"float32": jnp.float32,
+            "bfloat16": jnp.bfloat16}[config.model.compute_dtype]
+
+
+def _mha_weights(p, dt, names):
+    ws = [p[f"fc_{n}_kernel"].astype(dt) for n in names]
+    bs = [p[f"fc_{n}_bias"].astype(dt) for n in names]
+    if len(ws) == 1:
+        return ws[0], bs[0]
+    return jnp.concatenate(ws, axis=1), jnp.concatenate(bs)
+
+
+def _pack_encoder(layer, dt) -> EncoderLayerParams:
+    sa = layer["self_attention"]
+    ln = layer["layer_norm"]
+    ff = layer["positionwise_feedforward"]
+    wqkv, bqkv = _mha_weights(sa, dt, ["q", "k", "v"])
+    wo, bo = _mha_weights(sa, dt, ["o"])
+    return EncoderLayerParams(
+        wqkv=wqkv, bqkv=bqkv, wo=wo, bo=bo,
+        g=ln["scale"].astype(jnp.float32), b=ln["bias"].astype(jnp.float32),
+        w1=ff["fc_1"]["kernel"].astype(dt), b1=ff["fc_1"]["bias"].astype(dt),
+        w2=ff["fc_2"]["kernel"].astype(dt), b2=ff["fc_2"]["bias"].astype(dt))
+
+
+def _pack_cross(layer, dt, with_self: bool) -> CrossLayerParams:
+    ca = layer["encoder_attention"]
+    ln = layer["layer_norm"]
+    ff = layer["positionwise_feedforward"]
+    wq, bq = _mha_weights(ca, dt, ["q"])
+    wkv, bkv = _mha_weights(ca, dt, ["k", "v"])
+    wo, bo = _mha_weights(ca, dt, ["o"])
+    if with_self:
+        sa = layer["self_attention"]
+        wsqkv, bsqkv = _mha_weights(sa, dt, ["q", "k", "v"])
+        wso, bso = _mha_weights(sa, dt, ["o"])
+    else:
+        hid = wq.shape[0]
+        wsqkv = jnp.zeros((hid, 0), dt)
+        bsqkv = jnp.zeros((0,), dt)
+        wso = jnp.zeros((hid, hid), dt)
+        bso = jnp.zeros((hid,), dt)
+    return CrossLayerParams(
+        wsqkv=wsqkv, bsqkv=bsqkv, wso=wso, bso=bso, wq=wq, bq=bq,
+        wkv=wkv, bkv=bkv, wo=wo, bo=bo,
+        g=ln["scale"].astype(jnp.float32), b=ln["bias"].astype(jnp.float32),
+        w1=ff["fc_1"]["kernel"].astype(dt), b1=ff["fc_1"]["bias"].astype(dt),
+        w2=ff["fc_2"]["kernel"].astype(dt), b2=ff["fc_2"]["bias"].astype(dt))
+
+
+def _dense(x, p, dt):
+    y = jnp.dot(x, p["kernel"].astype(dt),
+                preferred_element_type=jnp.float32).astype(dt)
+    return y + p["bias"].astype(dt)
+
+
+def forward(params: Any, spec: jax.Array, config: Config, *,
+            interpret: bool = False) -> dict:
+    """Deterministic hFT forward on the fused-layer path.
+
+    ``spec [B, n_bin, margin_b + n_frame + margin_f]`` -> dict of logits
+    with the same keys/shapes as ``HFT.apply`` (no ``attention``).
+    """
+    cfg = config
+    m = cfg.model
+    dt = _dt(cfg)
+    enc_p = params["encoder"]
+    dec_p = params["decoder"]
+    B = spec.shape[0]
+    n_frame, n_bin = cfg.input.num_frame, cfg.feature.n_bins
+    n_note, n_vel = cfg.midi.num_note, cfg.midi.num_velocity
+    hid = m.hid_dim
+    sqrt_hid = jnp.sqrt(jnp.float32(hid)).astype(dt)
+
+    # ---- frequency encoder -------------------------------------------------
+    emb = fused_stem(spec, enc_p["conv_kernel"], enc_p["conv_bias"],
+                     enc_p["tok_embedding_kernel"],
+                     enc_p["tok_embedding_bias"],
+                     cnn_channel=m.cnn_channel, cnn_kernel=m.cnn_kernel,
+                     hid_dim=hid, n_margin=cfg.input.margin_b, dtype=dt)
+    h = emb.reshape(B * n_frame, n_bin, hid)
+    pos = enc_p["pos_embedding_freq"]["embedding"].astype(dt)
+    h = h * sqrt_hid + pos[None]
+    for i in range(m.enc_layer):
+        h = encoder_layer(h, _pack_encoder(enc_p[f"layers_freq_{i}"], dt),
+                          m.enc_head, interpret)
+    enc = h                                           # [B*n_frame, n_bin, hid]
+
+    # ---- stage 1: CAfreq ----------------------------------------------------
+    note_q = dec_p["pos_embedding_freq"]["embedding"].astype(dt)
+    trg = jnp.broadcast_to(note_q[None], (B * n_frame, n_note, hid))
+    trg = decoder_layer_zero(
+        trg, enc, _pack_cross(dec_p["layer_zero_freq"], dt, False),
+        m.dec_head, interpret)
+    for i in range(m.dec_layer - 1):
+        trg = decoder_layer(
+            trg, enc, _pack_cross(dec_p[f"layers_freq_{i}"], dt, True),
+            m.dec_head, interpret)
+
+    out = {
+        "onset_A": _dense(trg, dec_p["fc_onset_freq"], dt)
+        .reshape(B, n_frame, n_note),
+        "offset_A": _dense(trg, dec_p["fc_offset_freq"], dt)
+        .reshape(B, n_frame, n_note),
+        "mpe_A": _dense(trg, dec_p["fc_mpe_freq"], dt)
+        .reshape(B, n_frame, n_note),
+        "velocity_A": _dense(trg, dec_p["fc_velocity_freq"], dt)
+        .reshape(B, n_frame, n_note, n_vel),
+    }
+    if m.dec_alg == "cafreq":                        # stage-1-only ablation
+        return out
+
+    # ---- stage 2: SAtime ----------------------------------------------------
+    t = trg.reshape(B, n_frame, n_note, hid)
+    t = t.transpose(0, 2, 1, 3).reshape(B * n_note, n_frame, hid)
+    time_pos = dec_p["pos_embedding_time"]["embedding"].astype(dt)
+    t = t * sqrt_hid + time_pos[None]
+    for i in range(m.dec_layer):
+        t = encoder_layer(t, _pack_encoder(dec_p[f"layers_time_{i}"], dt),
+                          m.dec_head, interpret)
+
+    def head_t(name):
+        return _dense(t, dec_p[name], dt)
+
+    out.update({
+        "onset_B": head_t("fc_onset_time").reshape(B, n_note, n_frame)
+        .transpose(0, 2, 1),
+        "offset_B": head_t("fc_offset_time").reshape(B, n_note, n_frame)
+        .transpose(0, 2, 1),
+        "mpe_B": head_t("fc_mpe_time").reshape(B, n_note, n_frame)
+        .transpose(0, 2, 1),
+        "velocity_B": head_t("fc_velocity_time")
+        .reshape(B, n_note, n_frame, n_vel).transpose(0, 2, 1, 3),
+    })
+    return out
+
+
+def supports(config: Config) -> bool:
+    """The engine covers the main architecture (both decoders' depths >= 1)
+    without the attention map; other ablation encoders/decoders fall back to
+    the flax module."""
+    m = config.model
+    return (m.enc_alg == "cnntime_safreq"
+            and m.dec_alg in ("cafreq_satime", "cafreq")
+            and not m.return_attention)

@@ -40,9 +40,10 @@ class Transcriber:
     (``amt.py:9-31``): feature extraction + windowed transcription."""
 
     def __init__(self, config: Config, params: Any = None, model=None,
-                 batch_windows: int = 8):
+                 batch_windows: int = 8, use_engine: bool | None = None):
         self.config = config
         self.params = params
+        custom_model = model is not None
         if model is None:
             from nylon_amt_tpu.models.hft import build_model
 
@@ -50,6 +51,16 @@ class Transcriber:
         self.model = model
         self.frontend = MelFrontend(config.feature)
         self.batch_windows = batch_windows
+        if use_engine is None:
+            # Auto: the fused-layer engine replaces model.apply whenever it
+            # covers the architecture and the Pallas path is selected.
+            from nylon_amt_tpu.infer import engine
+            from nylon_amt_tpu.models.hft import resolve_attention_impl
+
+            use_engine = (not custom_model and engine.supports(config)
+                          and resolve_attention_impl(
+                              config.model.attention_impl) == "pallas")
+        self.use_engine = use_engine
         self._jit_batch = jax.jit(self._run_batch)
 
     # -- L1: features --------------------------------------------------------
@@ -63,7 +74,15 @@ class Transcriber:
 
     def _run_batch(self, params, windows: jnp.ndarray) -> dict:
         """windows [N, n_bins, window_frames] -> posterior dict (device)."""
-        out = self.model.apply({"params": params}, windows, deterministic=True)
+        if self.use_engine:
+            from nylon_amt_tpu.infer import engine
+            from nylon_amt_tpu.ops.attention import on_tpu
+
+            out = engine.forward(params, windows, self.config,
+                                 interpret=not on_tpu())
+        else:
+            out = self.model.apply({"params": params}, windows,
+                                   deterministic=True)
         post = {}
         for fam in ("A", "B"):
             post[f"onset_{fam}"] = jax.nn.sigmoid(out[f"onset_{fam}"])

@@ -108,8 +108,8 @@ class CNNBlockEncoder(nn.Module):
         emb = nn.Dense(self.hid_dim, name="tok_embedding_freq",
                        dtype=self.dtype)(win)
         emb = emb.reshape(B * self.n_frame, self.n_bin, self.hid_dim)
-        pos = nn.Embed(self.n_bin, self.hid_dim,
-                       name="pos_embedding_freq")(jnp.arange(self.n_bin))
+        pos = nn.Embed(self.n_bin, self.hid_dim, name="pos_embedding_freq",
+                       dtype=self.dtype)(jnp.arange(self.n_bin))
         h = emb * jnp.sqrt(jnp.float32(self.hid_dim)).astype(self.dtype) \
             + pos[None]
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -169,7 +169,7 @@ class LinearSAtimeDecoder(nn.Module):
         t = t.transpose(0, 2, 1, 3).reshape(B * self.n_note, self.n_frame,
                                             self.hid_dim)
         time_pos = nn.Embed(self.n_frame, self.hid_dim,
-                            name="pos_embedding_time")
+                            name="pos_embedding_time", dtype=self.dtype)
         t = t * jnp.sqrt(jnp.float32(self.hid_dim)).astype(self.dtype) \
             + time_pos(jnp.arange(self.n_frame))[None]
         t = nn.Dropout(self.dropout)(t, deterministic=deterministic)

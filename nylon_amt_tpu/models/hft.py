@@ -56,6 +56,36 @@ def _dtype(name: str):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
 
 
+def fused_stem(spec_in, conv_w, conv_b, emb_w, emb_b, *, cnn_channel,
+               cnn_kernel, hid_dim, n_margin, dtype):
+    """Encoder stem: unfold -> Conv2d -> Linear collapsed into one 65-tap
+    convolution (see the module docstring for the algebra). Shared by the
+    flax module and the flax-free inference engine.
+
+    ``spec_in [B, n_bin, n_margin*2 + n_frame]`` -> ``[B, n_frame, n_bin,
+    hid]`` embeddings (pre position-embedding, in ``dtype``).
+    """
+    n_proc = 2 * n_margin + 1
+    conv_out = n_proc - (cnn_kernel - 1)
+    w = emb_w.reshape(cnn_channel, conv_out, hid_dim)
+    k_eff = jnp.zeros((n_proc, hid_dim), dtype=jnp.float32)
+    for j in range(cnn_kernel):
+        shifted = jnp.pad(w, ((0, 0), (j, cnn_kernel - 1 - j), (0, 0)))
+        k_eff = k_eff + jnp.einsum("c,cmh->mh", conv_w[:, j], shifted)
+    b_eff = emb_b + jnp.einsum("cph,c->h", w, conv_b)
+
+    # The stem is ~0.5% of the model FLOPs: keep it f32 end to end
+    # (mixed bf16/f32 conv operands break the transposed-conv gradient).
+    x = spec_in.astype(jnp.float32)[:, None, :, :]      # [B, 1, n_bin, total]
+    kernel = k_eff.T[:, None, None, :]                  # [hid, 1, 1, 65]
+    emb = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )                                                    # [B, hid, n_bin, n_frame]
+    emb = emb.astype(dtype) + b_eff.astype(dtype)[None, :, None, None]
+    return emb.transpose(0, 3, 2, 1)                     # [B, n_frame, n_bin, hid]
+
+
 class MultiHeadAttention(nn.Module):
     """Scaled-dot-product MHA (ref ``MultiHeadAttentionLayer:308-360``).
 
@@ -199,7 +229,10 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, src, deterministic: bool = True):
-        ln = nn.LayerNorm(name="layer_norm")       # ONE instance, used twice
+        # ONE instance, used twice. dtype pins the output to the compute
+        # dtype (stats are still f32 inside flax); without it f32 params
+        # promote bf16 residual streams to f32, doubling HBM traffic.
+        ln = nn.LayerNorm(name="layer_norm", dtype=self.dtype)
         drop = nn.Dropout(self.dropout)
         attn_out, _ = MultiHeadAttention(
             self.hid_dim, self.n_heads, self.dropout, self.dtype, self.impl,
@@ -224,7 +257,7 @@ class DecoderLayerZero(nn.Module):
     @nn.compact
     def __call__(self, enc_src, trg, deterministic: bool = True,
                  need_weights: bool = True):
-        ln = nn.LayerNorm(name="layer_norm")
+        ln = nn.LayerNorm(name="layer_norm", dtype=self.dtype)
         drop = nn.Dropout(self.dropout)
         attn_out, attention = MultiHeadAttention(
             self.hid_dim, self.n_heads, self.dropout, self.dtype, self.impl,
@@ -250,7 +283,7 @@ class DecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, enc_src, trg, deterministic: bool = True,
                  need_weights: bool = True):
-        ln = nn.LayerNorm(name="layer_norm")
+        ln = nn.LayerNorm(name="layer_norm", dtype=self.dtype)
         drop = nn.Dropout(self.dropout)
         sa_out, _ = MultiHeadAttention(
             self.hid_dim, self.n_heads, self.dropout, self.dtype, self.impl,
@@ -307,28 +340,14 @@ class FreqEncoder(nn.Module):
                            (self.hid_dim,))
 
         # ---- fused stem: effective 65-tap kernel (see module docstring) ----
-        w = emb_w.reshape(self.cnn_channel, conv_out, self.hid_dim)
-        k_eff = jnp.zeros((n_proc, self.hid_dim), dtype=jnp.float32)
-        for j in range(self.cnn_kernel):
-            shifted = jnp.pad(w, ((0, 0), (j, self.cnn_kernel - 1 - j), (0, 0)))
-            k_eff = k_eff + jnp.einsum("c,cmh->mh", conv_w[:, j], shifted)
-        b_eff = emb_b + jnp.einsum("cph,c->h", w, conv_b)
-
-        # spec_in [B, n_bin, total] -> frames via one conv over time.
-        # conv_general_dilated: treat bins as a spatial dim with kernel 1.
-        # The stem is ~0.5% of the model FLOPs: keep it f32 end to end
-        # (mixed bf16/f32 conv operands break the transposed-conv gradient).
-        x = spec_in.astype(jnp.float32)[:, None, :, :]      # [B, 1, n_bin, total]
-        kernel = k_eff.T[:, None, None, :]                  # [hid, 1, 1, 65]
-        emb = jax.lax.conv_general_dilated(
-            x, kernel, window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )                                                    # [B, hid, n_bin, n_frame]
-        emb = emb.astype(self.dtype) + b_eff.astype(self.dtype)[None, :, None, None]
-        emb = emb.transpose(0, 3, 2, 1)                      # [B, n_frame, n_bin, hid]
+        emb = fused_stem(spec_in, conv_w, conv_b, emb_w, emb_b,
+                         cnn_channel=self.cnn_channel,
+                         cnn_kernel=self.cnn_kernel, hid_dim=self.hid_dim,
+                         n_margin=self.n_margin, dtype=self.dtype)
         emb = emb.reshape(B * self.n_frame, self.n_bin, self.hid_dim)
 
-        pos_emb = nn.Embed(self.n_bin, self.hid_dim, name="pos_embedding_freq")
+        pos_emb = nn.Embed(self.n_bin, self.hid_dim, name="pos_embedding_freq",
+                           dtype=self.dtype)
         pos = pos_emb(jnp.arange(self.n_bin))[None, :, :]
         h = emb * jnp.sqrt(jnp.float32(self.hid_dim)).astype(self.dtype) + pos
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -368,7 +387,8 @@ class Decoder(nn.Module):
         enc = enc_spec.reshape(B * self.n_frame, self.n_bin, self.hid_dim)
 
         # ---- stage 1: CAfreq ------------------------------------------------
-        note_q = nn.Embed(self.n_note, self.hid_dim, name="pos_embedding_freq")
+        note_q = nn.Embed(self.n_note, self.hid_dim, name="pos_embedding_freq",
+                          dtype=self.dtype)
         trg = jnp.broadcast_to(note_q(jnp.arange(self.n_note))[None],
                                (B * self.n_frame, self.n_note, self.hid_dim)
                                ).astype(self.dtype)
@@ -413,7 +433,7 @@ class Decoder(nn.Module):
         t = t.transpose(0, 2, 1, 3).reshape(B * self.n_note, self.n_frame,
                                             self.hid_dim)
         time_pos = nn.Embed(self.n_frame, self.hid_dim,
-                            name="pos_embedding_time")
+                            name="pos_embedding_time", dtype=self.dtype)
         t = t * jnp.sqrt(jnp.float32(self.hid_dim)).astype(self.dtype) \
             + time_pos(jnp.arange(self.n_frame))[None]
         t = nn.Dropout(self.dropout)(t, deterministic=deterministic)

@@ -1,0 +1,96 @@
+"""Fused-layer inference engine parity vs the flax module.
+
+The engine (``infer/engine.py``) reruns the deterministic hFT forward
+through whole-layer Pallas kernels (``ops/layer_fused.py``); on the CPU test
+platform the kernels run in interpret mode. Parity target: the flax
+``model.apply`` output (which itself is parity-tested against the torch
+reference in ``test_model_parity.py``).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nylon_amt_tpu.config import Config, ModelConfig
+from nylon_amt_tpu.infer import engine
+from nylon_amt_tpu.models.hft import build_model, init_params
+
+
+def small_config(**model_kw):
+    kw = dict(hid_dim=16, pf_dim=32, enc_layer=2, dec_layer=2,
+              enc_head=2, dec_head=2, dropout=0.0)
+    kw.update(model_kw)
+    return Config(model=ModelConfig(**kw))
+
+
+def _forward_pair(cfg, B=2, seed=0):
+    rng = np.random.default_rng(seed)
+    params = init_params(cfg, jax.random.key(1))
+    spec = jnp.asarray(
+        rng.standard_normal((B, cfg.feature.n_bins, cfg.window_frames)),
+        jnp.float32)
+    model = build_model(cfg)
+    ref = model.apply({"params": params}, spec, deterministic=True)
+    got = engine.forward(params, spec, cfg, interpret=True)
+    return ref, got
+
+
+def test_engine_matches_module_f32():
+    cfg = small_config()
+    ref, got = _forward_pair(cfg)
+    assert engine.supports(cfg)
+    keys = {k for k in ref if k != "attention"}
+    assert set(got) == keys
+    for k in sorted(keys):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   atol=2e-4, rtol=2e-4, err_msg=k)
+
+
+def test_engine_matches_module_bf16():
+    cfg = small_config(compute_dtype="bfloat16")
+    ref, got = _forward_pair(cfg)
+    for k in (k for k in ref if k != "attention"):
+        r = np.asarray(ref[k], np.float32)
+        g = np.asarray(got[k], np.float32)
+        # both paths are bf16; ordering differences allow a few ulps
+        scale = np.maximum(np.abs(r), 1.0)
+        assert np.max(np.abs(r - g) / scale) < 0.1, k
+
+
+def test_engine_single_stage_cafreq():
+    cfg = small_config(dec_alg="cafreq")
+    ref, got = _forward_pair(cfg)
+    assert set(got) == {"onset_A", "offset_A", "mpe_A", "velocity_A"}
+    for k in got:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   atol=2e-4, rtol=2e-4, err_msg=k)
+
+
+def test_engine_supports_gating():
+    assert not engine.supports(small_config(enc_alg="cnnblock_safreq"))
+    assert not engine.supports(small_config(dec_alg="linear_satime"))
+    assert not engine.supports(small_config(return_attention=True))
+
+
+def test_transcriber_engine_path_matches_module(tmp_path):
+    """Transcriber(use_engine=True) produces the same posteriors as the
+    module path on a synthetic feature."""
+    from nylon_amt_tpu.infer.transcribe import Transcriber
+
+    cfg = small_config()
+    params = init_params(cfg, jax.random.key(2))
+    rng = np.random.default_rng(3)
+    feature = rng.standard_normal((300, cfg.feature.n_bins)).astype(np.float32)
+
+    t_mod = Transcriber(cfg, params, use_engine=False)
+    t_eng = Transcriber(cfg, params, use_engine=True)
+    post_mod = t_mod.transcript(feature)
+    post_eng = t_eng.transcript(feature)
+    assert set(post_mod) == set(post_eng)
+    for k in post_mod:
+        np.testing.assert_allclose(post_eng[k], post_mod[k], atol=2e-4,
+                                   rtol=2e-4, err_msg=k)
