@@ -64,6 +64,56 @@ def model_forward_flops(config: Config, batch: int) -> float:
                  + m.dec_layer * t_layer + heads + stem)
 
 
+def train_throughput(iters: int = 10) -> dict:
+    """Training-step throughput at the reference recipe's batch size
+    (8, dropout 0.1 — ``EXE-TRAINING-MAESTRO.sh``): device-side scan of
+    full fwd+bwd+Adam steps. fwd+bwd+update ~= 3x forward FLOPs."""
+    from nylon_amt_tpu.config import TrainConfig
+    from nylon_amt_tpu.train.step import create_train_state, loss_fn
+
+    B = 8
+    config = Config(
+        model=ModelConfig(hid_dim=256, pf_dim=512, enc_layer=3, dec_layer=3,
+                          enc_head=4, dec_head=4, dropout=0.1,
+                          compute_dtype="bfloat16"),
+        train=TrainConfig(batch_size=B))
+    rng = np.random.default_rng(0)
+    batch = {
+        "spec": jnp.asarray(rng.standard_normal((B, 256, 192)), jnp.float32),
+        "onset": jnp.asarray(rng.random((B, 128, 88)) > 0.97, jnp.float32),
+        "offset": jnp.asarray(rng.random((B, 128, 88)) > 0.97, jnp.float32),
+        "mpe": jnp.asarray(rng.random((B, 128, 88)) > 0.9, jnp.float32),
+        "velocity": jnp.asarray(rng.integers(0, 128, (B, 128, 88)), jnp.int32),
+        "valid": jnp.ones((B,), jnp.float32),
+    }
+    state = create_train_state(config, jax.random.key(0), batch_size=B)
+
+    @jax.jit
+    def steps_n(state, batch, key):
+        def body(st, i):
+            rng_i = jax.random.fold_in(key, i)
+            grad_fn = jax.value_and_grad(
+                lambda p: loss_fn(config, st.apply_fn, p, batch, rng_i),
+                has_aux=True)
+            (_, metrics), grads = grad_fn(st.params)
+            return st.apply_gradients(grads=grads), metrics["loss"]
+
+        state, losses = jax.lax.scan(body, state, jnp.arange(iters))
+        return state, losses[-1]
+
+    state, last = steps_n(state, batch, jax.random.key(1))
+    float(last)  # compile + warm (the fetch is the only reliable fence)
+    t0 = time.perf_counter()
+    state, last = steps_n(state, batch, jax.random.key(2))
+    float(last)
+    dt = (time.perf_counter() - t0) / iters
+    sec_per_window = (config.input.num_frame * config.feature.hop_sample
+                      / config.feature.sr)
+    return {"train_audio_sec_per_sec_per_chip": round(
+                B * sec_per_window / dt, 2),
+            "train_step_ms_batch8": round(dt * 1e3, 2)}
+
+
 def main() -> None:
     from nylon_amt_tpu.utils.cache import enable_compilation_cache
 
@@ -118,7 +168,7 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / iters
     audio_sec_per_sec = batch * sec_per_window / dt
     flops = model_forward_flops(config, batch)
-    print(json.dumps({
+    record = {
         "metric": "transcribe_audio_sec_per_sec_per_chip",
         "value": round(audio_sec_per_sec, 2),
         "unit": "audio_sec/sec/chip",
@@ -127,7 +177,9 @@ def main() -> None:
         "model_tflops_per_forward": round(flops / 1e12, 3),
         "mfu_vs_v5e_bf16_peak": round(flops / dt / 1e12
                                       / V5E_BF16_PEAK_TFLOPS, 3),
-    }))
+    }
+    record.update(train_throughput())
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

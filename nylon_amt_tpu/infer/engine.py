@@ -26,13 +26,14 @@ import jax
 import jax.numpy as jnp
 
 from nylon_amt_tpu.config import Config
-from nylon_amt_tpu.models.hft import fused_stem
+from nylon_amt_tpu.models.hft import stem_effective_kernel
 from nylon_amt_tpu.ops.layer_fused import (
     CrossLayerParams,
     EncoderLayerParams,
     decoder_layer,
     decoder_layer_zero,
     encoder_layer,
+    encoder_layer_with_stem,
 )
 
 
@@ -112,15 +113,34 @@ def forward(params: Any, spec: jax.Array, config: Config, *,
     sqrt_hid = jnp.sqrt(jnp.float32(hid)).astype(dt)
 
     # ---- frequency encoder -------------------------------------------------
-    emb = fused_stem(spec, enc_p["conv_kernel"], enc_p["conv_bias"],
-                     enc_p["tok_embedding_kernel"],
-                     enc_p["tok_embedding_bias"],
-                     cnn_channel=m.cnn_channel, cnn_kernel=m.cnn_kernel,
-                     hid_dim=hid, n_margin=cfg.input.margin_b, dtype=dt)
-    h = emb.reshape(B * n_frame, n_bin, hid)
+    # Stem + pos embedding fused into the first layer's kernel: the spec is
+    # small enough to sit whole in VMEM, so the 65-tap convolution happens
+    # on already-resident data and no stem intermediate ever reaches HBM.
     pos = enc_p["pos_embedding_freq"]["embedding"].astype(dt)
-    h = h * sqrt_hid + pos[None]
-    for i in range(m.enc_layer):
+    first_layer = 0
+    try:
+        keff, beff = stem_effective_kernel(
+            enc_p["conv_kernel"], enc_p["conv_bias"],
+            enc_p["tok_embedding_kernel"], enc_p["tok_embedding_bias"],
+            cnn_channel=m.cnn_channel, cnn_kernel=m.cnn_kernel, hid_dim=hid,
+            n_margin=cfg.input.margin_b)
+        spec_t = spec.astype(jnp.float32).transpose(0, 2, 1)  # frame-major
+        h = encoder_layer_with_stem(
+            spec_t, keff, beff, pos,
+            _pack_encoder(enc_p["layers_freq_0"], dt), m.enc_head, n_frame,
+            dt, interpret)
+        first_layer = 1
+    except ValueError:          # geometry the banded kernel can't block
+        from nylon_amt_tpu.models.hft import fused_stem
+
+        emb = fused_stem(spec, enc_p["conv_kernel"], enc_p["conv_bias"],
+                         enc_p["tok_embedding_kernel"],
+                         enc_p["tok_embedding_bias"],
+                         cnn_channel=m.cnn_channel, cnn_kernel=m.cnn_kernel,
+                         hid_dim=hid, n_margin=cfg.input.margin_b, dtype=dt)
+        h = emb.reshape(B * n_frame, n_bin, hid)
+        h = h * sqrt_hid + pos[None]
+    for i in range(first_layer, m.enc_layer):
         h = encoder_layer(h, _pack_encoder(enc_p[f"layers_freq_{i}"], dt),
                           m.enc_head, interpret)
     enc = h                                           # [B*n_frame, n_bin, hid]

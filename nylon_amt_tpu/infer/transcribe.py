@@ -84,7 +84,8 @@ class Transcriber:
             out = self.model.apply({"params": params}, windows,
                                    deterministic=True)
         post = {}
-        for fam in ("A", "B"):
+        # Stage-1-only models ("cafreq" ablation decoder) emit only A heads.
+        for fam in ("A", "B") if "onset_B" in out else ("A",):
             post[f"onset_{fam}"] = jax.nn.sigmoid(out[f"onset_{fam}"])
             post[f"offset_{fam}"] = jax.nn.sigmoid(out[f"offset_{fam}"])
             post[f"mpe_{fam}"] = jax.nn.sigmoid(out[f"mpe_{fam}"])

@@ -56,6 +56,22 @@ def _dtype(name: str):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
 
 
+def stem_effective_kernel(conv_w, conv_b, emb_w, emb_b, *, cnn_channel,
+                          cnn_kernel, hid_dim, n_margin):
+    """Collapse the reference's unfold -> Conv2d -> Linear stem into one
+    effective 65-tap kernel ``k_eff [n_proc, hid]`` + bias ``b_eff [hid]``
+    (see the module docstring for the algebra)."""
+    n_proc = 2 * n_margin + 1
+    conv_out = n_proc - (cnn_kernel - 1)
+    w = emb_w.reshape(cnn_channel, conv_out, hid_dim)
+    k_eff = jnp.zeros((n_proc, hid_dim), dtype=jnp.float32)
+    for j in range(cnn_kernel):
+        shifted = jnp.pad(w, ((0, 0), (j, cnn_kernel - 1 - j), (0, 0)))
+        k_eff = k_eff + jnp.einsum("c,cmh->mh", conv_w[:, j], shifted)
+    b_eff = emb_b + jnp.einsum("cph,c->h", w, conv_b)
+    return k_eff, b_eff
+
+
 def fused_stem(spec_in, conv_w, conv_b, emb_w, emb_b, *, cnn_channel,
                cnn_kernel, hid_dim, n_margin, dtype):
     """Encoder stem: unfold -> Conv2d -> Linear collapsed into one 65-tap
@@ -65,14 +81,9 @@ def fused_stem(spec_in, conv_w, conv_b, emb_w, emb_b, *, cnn_channel,
     ``spec_in [B, n_bin, n_margin*2 + n_frame]`` -> ``[B, n_frame, n_bin,
     hid]`` embeddings (pre position-embedding, in ``dtype``).
     """
-    n_proc = 2 * n_margin + 1
-    conv_out = n_proc - (cnn_kernel - 1)
-    w = emb_w.reshape(cnn_channel, conv_out, hid_dim)
-    k_eff = jnp.zeros((n_proc, hid_dim), dtype=jnp.float32)
-    for j in range(cnn_kernel):
-        shifted = jnp.pad(w, ((0, 0), (j, cnn_kernel - 1 - j), (0, 0)))
-        k_eff = k_eff + jnp.einsum("c,cmh->mh", conv_w[:, j], shifted)
-    b_eff = emb_b + jnp.einsum("cph,c->h", w, conv_b)
+    k_eff, b_eff = stem_effective_kernel(
+        conv_w, conv_b, emb_w, emb_b, cnn_channel=cnn_channel,
+        cnn_kernel=cnn_kernel, hid_dim=hid_dim, n_margin=n_margin)
 
     # The stem is ~0.5% of the model FLOPs: keep it f32 end to end
     # (mixed bf16/f32 conv operands break the transposed-conv gradient).

@@ -153,6 +153,55 @@ def _enc_kernel(x_ref, wqkv, bqkv, wo, bo, g, b, w1, b1, w2, b2, o_ref, *,
         w1[...], b1[...], w2[...], b2[...], n_heads, scale)
 
 
+def _enc_stem_kernel(spec_ref, kband, beff, pos, wqkv, bqkv, wo, bo, g, b,
+                     w1, b1, w2, b2, o_ref, *, n_heads, scale, bn, n_frame,
+                     sqrt_hid, out_dtype):
+    """Stem + position embedding + first encoder layer in one kernel.
+
+    ``spec_ref`` holds one example's FULL frame-major spectrogram
+    ``[1, total_frames, n_bin]`` (a window's spec is ~200 KB — it stays
+    resident in VMEM across the grid steps of that example). The 65-tap stem
+    convolution for the block's ``bn`` frames is ONE matmul against a
+    precomputed banded tap matrix ``kband [n_phase, bn*hid, span]``
+    (``kband[p, j*hid + h, p*bn + j + m] = k_eff[m, h]``): Mosaic forbids
+    per-frame dynamic sublane slices at arbitrary offsets, and the banded
+    contraction needs only one 8-aligned dynamic block load. The f32 conv
+    output / transpose / scale+pos intermediates of the XLA stem (~6 ms of
+    pure HBM bandwidth at batch 32) never exist here.
+    """
+    hid = beff.shape[-1]
+    base = (pl.program_id(0) % (n_frame // bn)) * bn       # multiple of bn
+    # Mosaic requires a provably 8-aligned dynamic sublane offset; blocks
+    # narrower than 8 frames load from the aligned floor and select the
+    # phase-shifted band instead.
+    n_phase = kband.shape[0]
+    span = kband.shape[2]
+    if n_phase == 1:
+        aligned, kb = base, kband[0]
+    else:
+        aligned = (base // 8) * 8
+        phase = (base % 8) // bn
+        kb = kband[0]
+        for p_i in range(1, n_phase):
+            kb = jnp.where(phase == p_i, kband[p_i], kb)
+    w = spec_ref[0, pl.ds(aligned, span), :]               # [span, n_bin] f32
+    # kb is [bn*hid, span]: the matmul lands frames/hid on the SUBLANE axis
+    # so the per-frame fixup is a cheap last-two-dims tile transpose (a
+    # leading-axis transpose would be a full cross-sublane relayout).
+    e = jax.lax.dot_general(kb, w, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    e = e.reshape(bn, hid, w.shape[1])                     # [bn, hid, n_bin]
+    # (minor-dim insertion must happen on the 32-bit array — Mosaic
+    # restriction on 16-bit relayouts)
+    beff_col = beff[...][None, :, None].astype(out_dtype)  # [1, hid, 1]
+    xt = e.astype(out_dtype) + beff_col
+    xt = xt * jnp.float32(sqrt_hid).astype(out_dtype) + pos[...][None]
+    x = jnp.swapaxes(xt, 1, 2)                             # [bn, n_bin, hid]
+    o_ref[...] = _self_block(
+        x, wqkv[...], bqkv[...], wo[...], bo[...], g[...], b[...],
+        w1[...], b1[...], w2[...], b2[...], n_heads, scale)
+
+
 def _dec_zero_kernel(trg_ref, enc_ref, wq, bq, wkv, bkv, wo, bo, g, b,
                      w1, b1, w2, b2, o_ref, *, n_heads, scale):
     o_ref[...] = _cross_tail(
@@ -175,10 +224,20 @@ def _dec_kernel(trg_ref, enc_ref, wsqkv, bsqkv, wso, bso, wq, bq, wkv, bkv,
         n_heads, scale)
 
 
-def _row_block(n: int, l_bytes_per_row: int, budget_mb: float = 6.0) -> int:
-    bn = max(1, int(budget_mb * 1024 * 1024 / l_bytes_per_row))
-    while n % bn:
-        bn -= 1
+_BLOCK_BUDGET_MB = 8.0  # VMEM scratch target per grid program (of ~16 MB)
+
+
+def _row_block(n: int, l_bytes_per_row: int,
+               budget_mb: float | None = None) -> int:
+    """Rows per grid program: the largest power-of-two divisor of ``n``
+    within the VMEM budget (power-of-two blocks keep the matmul M-dims
+    MXU-aligned; odd divisors of 4096 would otherwise fall through to
+    degenerate bn=2/3 blocks)."""
+    budget = (budget_mb or _BLOCK_BUDGET_MB) * 1024 * 1024
+    cap = max(1, int(budget / l_bytes_per_row))
+    bn = 1
+    while bn * 2 <= cap and n % (bn * 2) == 0:
+        bn *= 2
     return bn
 
 
@@ -227,6 +286,79 @@ def encoder_layer(x, p: EncoderLayerParams, n_heads: int,
         interpret=interpret,
         compiler_params=_compiler_params(interpret),
     )(x, *weights)
+
+
+def stem_block_rows(n: int, n_frame: int, n_bin: int, hid: int, pf: int,
+                    itemsize: int) -> int:
+    """Block size for :func:`encoder_layer_with_stem`; the Mosaic-provable
+    aligned dynamic load needs ``bn`` to be a multiple of 8 and to divide
+    ``n_frame`` (callers fall back to the XLA stem when impossible)."""
+    bn = _row_block(n, _enc_bytes_per_row(n_bin, hid, pf, itemsize))
+    bn = min(bn, n_frame)
+    while n_frame % bn:
+        bn -= 1
+    return bn
+
+
+def encoder_layer_with_stem(spec_t, keff, beff, pos, p: EncoderLayerParams,
+                            n_heads: int, n_frame: int, out_dtype,
+                            interpret: bool = False):
+    """Fused stem + pos-embedding + first encoder layer.
+
+    ``spec_t [B, total_frames, n_bin]`` (frame-major f32 log-mel),
+    ``keff [n_proc, hid]`` / ``beff [hid]`` the collapsed 65-tap stem kernel
+    (see ``models.hft.fused_stem``), ``pos [n_bin, hid]`` the frequency
+    position embedding. Returns ``[B*n_frame, n_bin, hid]`` — the output of
+    ``encoder_layer`` applied to the embedded spectrogram.
+    """
+    B, total, n_bin = spec_t.shape
+    n_proc, hid = keff.shape
+    pf = p.w1.shape[1]
+    n = B * n_frame
+    scale = 1.0 / float(hid // n_heads) ** 0.5
+    bn = stem_block_rows(n, n_frame, n_bin, hid, pf,
+                         jnp.dtype(out_dtype).itemsize)
+    if bn % 8 and 8 % bn:
+        raise ValueError(f"stem block rows {bn} incompatible with 8-aligned "
+                         "loads; use the XLA stem path")
+    n_phase = 1 if bn % 8 == 0 else 8 // bn
+    span = (8 - bn if bn < 8 else 0) + bn + n_proc - 1
+    span += (-span) % 8
+    aligned_max = ((n_frame - bn) // 8) * 8 if n_phase > 1 else n_frame - bn
+    if aligned_max + span > total:
+        raise ValueError("spec too short for aligned stem loads; "
+                         "use the XLA stem path")
+    sqrt_hid = float(hid) ** 0.5         # static: rounded in-kernel
+    # Banded tap matrices, one per 8-alignment phase: with the block's
+    # frames starting ``phase*bn`` rows into the aligned load,
+    # ``kband[p, j*hid + h, phase*bn + j + m] = keff[m, h]`` — the stem
+    # contraction is one matmul against the selected band (transposed so
+    # frames/hid land on the matmul's M axis; see the kernel docstring).
+    t = jnp.arange(span)[:, None, None]                   # [span, 1, 1]
+    j = jnp.arange(bn)[None, :, None]                     # [1, bn, 1]
+    ph = jnp.arange(n_phase)[None, None, :]               # [1, 1, n_phase]
+    m = t - j - ph * bn                                   # [span, bn, n_phase]
+    band = jnp.where(((m >= 0) & (m < n_proc))[..., None],
+                     keff[jnp.clip(m, 0, n_proc - 1)], 0.0)
+    kband = band.transpose(2, 1, 3, 0).reshape(n_phase, bn * hid, span)
+    weights = [p.wqkv, p.bqkv, p.wo, p.bo, p.g, p.b, p.w1, p.b1, p.w2, p.b2]
+    pos_t = pos.T                                         # [hid, n_bin]
+    spec_spec = pl.BlockSpec((1, total, n_bin),
+                             lambda i: ((i * bn) // n_frame, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_enc_stem_kernel, n_heads=n_heads, scale=scale,
+                          bn=bn, n_frame=n_frame, sqrt_hid=sqrt_hid,
+                          out_dtype=out_dtype),
+        grid=(n // bn,),
+        in_specs=[spec_spec, _w_blk(kband.shape), _w_blk(beff.shape),
+                  _w_blk(pos_t.shape)]
+        + [_w_blk(w.shape) for w in weights],
+        out_specs=_act_blk(bn, n_bin, hid),
+        out_shape=jax.ShapeDtypeStruct((n, n_bin, hid), out_dtype),
+        interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(spec_t, kband, beff, pos_t, *weights)
 
 
 def decoder_layer_zero(trg, enc, p: CrossLayerParams, n_heads: int,

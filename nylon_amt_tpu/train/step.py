@@ -169,11 +169,26 @@ def make_train_step(config: Config):
 
 
 def make_eval_step(config: Config):
-    """Build the jitted validation-loss step."""
+    """Build the jitted validation-loss step.
+
+    Deterministic forwards route through the fused-layer inference engine
+    (``infer/engine.py``) when it covers the architecture and the Pallas
+    path is active — validation epochs then run at transcription speed."""
+    from nylon_amt_tpu.infer import engine
+    from nylon_amt_tpu.models.hft import resolve_attention_impl
+    from nylon_amt_tpu.ops.attention import on_tpu
+
+    use_engine = (engine.supports(config) and on_tpu()
+                  and resolve_attention_impl(
+                      config.model.attention_impl) == "pallas")
+
+    def engine_apply(variables, spec, deterministic=True, rngs=None):
+        return engine.forward(variables["params"], spec, config)
 
     @jax.jit
     def eval_step(state: TrainState, batch: dict) -> dict:
-        _, aux = loss_fn(config, state.apply_fn, state.params, batch,
+        apply_fn = engine_apply if use_engine else state.apply_fn
+        _, aux = loss_fn(config, apply_fn, state.params, batch,
                          batch_stats=state.batch_stats)
         return aux[0] if state.batch_stats is not None else aux
 

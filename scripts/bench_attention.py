@@ -28,25 +28,30 @@ def flops(n, lq, lk, hid):
     return 2 * n * lq * lk * hid * 2
 
 
-def scan_time(step_fn, init, iters=20):
-    """Time a device-side scan of ``step_fn`` chained through its output,
-    closed by a host scalar fetch (block_until_ready returns early through
-    the TPU tunnel — the fetch is the only reliable fence)."""
+def scan_time(step_fn, init, consts, iters=20):
+    """Time a device-side scan of ``step_fn(x, *consts)`` chained through
+    its output, closed by a host scalar fetch (block_until_ready returns
+    early through the TPU tunnel — the fetch is the only reliable fence).
+
+    ``consts`` MUST be passed as arguments, not closed over: closure
+    constants are embedded in the HLO and the tunnel's remote-compile
+    service rejects multi-hundred-MB payloads (HTTP 413).
+    """
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(x):
+    def run(x, *cs):
         def body(c, _):
-            nxt = step_fn(c)
+            nxt = step_fn(c, *cs)
             return nxt, ()
 
         out, _ = jax.lax.scan(body, x, None, length=iters)
         return jnp.float32(out.astype(jnp.float32).sum())
 
-    float(run(init))  # compile + warm
+    float(run(init, *consts))  # compile + warm
     t0 = time.perf_counter()
-    float(run(init))
+    float(run(init, *consts))
     return (time.perf_counter() - t0) / iters
 
 
@@ -83,18 +88,18 @@ def main():
         k = jnp.asarray(rng.standard_normal((n, lk, hid)), jnp.bfloat16)
         v = jnp.asarray(rng.standard_normal((n, lk, hid)), jnp.bfloat16)
 
-        t_fwd = scan_time(lambda x: fused_mha(x, k, v, H, scale), q,
-                          iters=args.iters)
+        t_fwd = scan_time(lambda x, k, v: fused_mha(x, k, v, H, scale), q,
+                          (k, v), iters=args.iters)
 
-        def grad_step(x):
+        def grad_step(x, k, v):
             def loss(x):
                 return fused_mha(x, k, v, H, scale).astype(jnp.float32).sum()
 
             return jax.grad(loss)(x)
 
-        t_bwd = scan_time(grad_step, q, iters=args.iters)
+        t_bwd = scan_time(grad_step, q, (k, v), iters=args.iters)
 
-        def xla(x):
+        def xla(x, k, v):
             qh = x.reshape(n, lq, H, hid // H)
             kh = k.reshape(n, lk, H, hid // H)
             vh = v.reshape(n, lk, H, hid // H)
@@ -105,8 +110,8 @@ def main():
                            preferred_element_type=jnp.float32)
             return o.astype(x.dtype).reshape(n, lq, hid)
 
-        t_xla = scan_time(xla, q, iters=args.iters) if not args.skip_xla \
-            else float("nan")
+        t_xla = scan_time(xla, q, (k, v), iters=args.iters) \
+            if not args.skip_xla else float("nan")
 
         f = flops(n, lq, lk, hid)
         gb = n * (lq * 2 + lk * 2) * hid * 2 / 1e9  # q+o+k+v, bf16

@@ -76,6 +76,52 @@ def test_engine_supports_gating():
     assert not engine.supports(small_config(return_attention=True))
 
 
+def test_stem_layer_multiphase_matches_composition(monkeypatch):
+    """encoder_layer_with_stem at a block size below 8 (multi-phase banded
+    loads — the paper-scale geometry's path) equals fused_stem +
+    encoder_layer."""
+    from nylon_amt_tpu.models.hft import fused_stem
+    from nylon_amt_tpu.ops import layer_fused
+    from nylon_amt_tpu.ops.layer_fused import (
+        EncoderLayerParams, encoder_layer, encoder_layer_with_stem)
+
+    rng = np.random.default_rng(7)
+    B, n_frame, n_bin, hid, pf, heads = 2, 16, 8, 16, 32, 2
+    n_margin, ck, cc = 4, 3, 2
+    n_proc = 2 * n_margin + 1
+    total = n_frame + n_proc - 1
+
+    def arr(*shape):
+        return jnp.asarray(rng.standard_normal(shape) * 0.3, jnp.float32)
+
+    conv_w, conv_b = arr(cc, ck), arr(cc)
+    emb_w, emb_b = arr(cc * (n_proc - ck + 1), hid), arr(hid)
+    pos = arr(n_bin, hid)
+    p = EncoderLayerParams(
+        wqkv=arr(hid, 3 * hid), bqkv=arr(3 * hid), wo=arr(hid, hid),
+        bo=arr(hid), g=jnp.ones(hid), b=jnp.zeros(hid),
+        w1=arr(hid, pf), b1=arr(pf), w2=arr(pf, hid), b2=arr(hid))
+    spec = arr(B, n_bin, total)
+
+    kw = dict(cnn_channel=cc, cnn_kernel=ck, hid_dim=hid, n_margin=n_margin)
+    emb = fused_stem(spec, conv_w, conv_b, emb_w, emb_b, dtype=jnp.float32,
+                     **kw)
+    h = emb.reshape(B * n_frame, n_bin, hid)
+    h = h * jnp.sqrt(jnp.float32(hid)) + pos[None]
+    ref = encoder_layer(h, p, heads, interpret=True)
+
+    from nylon_amt_tpu.models.hft import stem_effective_kernel
+
+    keff, beff = stem_effective_kernel(conv_w, conv_b, emb_w, emb_b, **kw)
+    # Force bn=2 -> 4 alignment phases (per_row ~5.4 KB).
+    monkeypatch.setattr(layer_fused, "_BLOCK_BUDGET_MB", 2 * 5376 / 2**20)
+    got = encoder_layer_with_stem(
+        spec.transpose(0, 2, 1), keff, beff, pos, p, heads, n_frame,
+        jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5,
+                               rtol=1e-5)
+
+
 def test_transcriber_engine_path_matches_module(tmp_path):
     """Transcriber(use_engine=True) produces the same posteriors as the
     module path on a synthetic feature."""
