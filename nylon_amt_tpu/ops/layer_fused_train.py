@@ -1,0 +1,770 @@
+"""Whole-layer fused transformer kernels with custom VJP — training path.
+
+The inference engine (:mod:`nylon_amt_tpu.ops.layer_fused`) showed the model
+is HBM-bound: one kernel per layer with VMEM-resident weights cut inference
+wall-clock ~2x. Training has the same structure twice over (forward +
+recompute-backward), so the same fusion applies: the forward kernel streams
+activations through a full post-LN block in VMEM; the backward kernel
+recomputes the forward internals (flash-style — nothing but the layer input
+is saved between fwd and bwd) and emits ``dx`` plus all weight gradients,
+which accumulate across grid steps into f32 output blocks whose index never
+changes (sequential grid => safe read-modify-write).
+
+Dropout (the reference trains with rate 0.1 at four sites per encoder
+layer: the attention weights, the attention output, the FFN hidden, and the
+FFN output — ``model_spec2midi.py:222-245,348``) runs in-kernel on the
+Pallas PRNG: forward and backward regenerate identical masks from
+``seed + program_id * 8 + site`` — no mask is ever materialized in HBM.
+This is the fix for the torch/XLA-style dropout cost: threefry mask
+generation alone added ~108 ms to a batch-8 train step.
+
+Semantics match ``models.hft.EncoderLayer`` exactly (post-LN, ONE LayerNorm
+instance shared by both residuals, f32 LN statistics, bf16 matmuls with f32
+accumulation); gradient parity vs the flax/autodiff path is tested at
+dropout 0, dropout realizations are statistically validated on hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nylon_amt_tpu.ops.attention import _dropout_mask
+from nylon_amt_tpu.ops.layer_fused import (
+    _LN_EPS,
+    EncoderLayerParams,
+    _act_blk,
+    _compiler_params,
+    _matmul,
+    _row_block,
+    _w_blk,
+)
+
+# dropout site ids (PRNG stream offsets; must be identical in fwd and bwd)
+_SITE_ATTN, _SITE_ATTN_OUT, _SITE_FFN_MID, _SITE_FFN_OUT = 0, 1, 2, 3
+_SITE_SA, _SITE_SA_OUT = 4, 5
+_N_SITES = 8  # seed stride per program (room for future sites)
+
+
+class DecZeroParams(NamedTuple):
+    """Cross-attention-only decoder block weights (f32), training path."""
+
+    wq: jax.Array
+    bq: jax.Array
+    wkv: jax.Array
+    bkv: jax.Array
+    wo: jax.Array
+    bo: jax.Array
+    g: jax.Array
+    b: jax.Array
+    w1: jax.Array
+    b1: jax.Array
+    w2: jax.Array
+    b2: jax.Array
+
+
+class DecLayerParams(NamedTuple):
+    """Self+cross decoder block weights (f32), training path."""
+
+    wsqkv: jax.Array
+    bsqkv: jax.Array
+    wso: jax.Array
+    bso: jax.Array
+    wq: jax.Array
+    bq: jax.Array
+    wkv: jax.Array
+    bkv: jax.Array
+    wo: jax.Array
+    bo: jax.Array
+    g: jax.Array
+    b: jax.Array
+    w1: jax.Array
+    b1: jax.Array
+    w2: jax.Array
+    b2: jax.Array
+
+
+def _mask(shape, rate, active):
+    if not active:
+        return None
+    return _dropout_mask(shape, rate)
+
+
+def _seed_site(seed_ref, site):
+    pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * _N_SITES + site)
+
+
+def _ln_fwd(x, g, b):
+    """Returns (y, xhat, inv_sigma); stats in f32."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+    inv = jax.lax.rsqrt(var + _LN_EPS)
+    xhat = (xf - mu) * inv
+    return (xhat * g + b).astype(x.dtype), xhat, inv
+
+
+def _ln_bwd(dy, xhat, inv, g):
+    """dy -> (dx, dgamma, dbeta); all f32. Reductions over the last axis."""
+    dyf = dy.astype(jnp.float32)
+    dgamma = jnp.sum(dyf * xhat, axis=tuple(range(dy.ndim - 1)))
+    dbeta = jnp.sum(dyf, axis=tuple(range(dy.ndim - 1)))
+    dxhat = dyf * g
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = (dxhat - m1 - xhat * m2) * inv
+    return dx, dgamma, dbeta
+
+
+def _heads_fwd_cross(q, kv, n_heads, scale, rate, active, dt):
+    """Per-head attention with optional in-kernel dropout on the normalized
+    weights (one PRNG stream per call site; heads drawn sequentially).
+    ``q [bn, Lq, hid]``, ``kv [bn, Lk, 2*hid]``."""
+    hid = q.shape[-1]
+    d = hid // n_heads
+    k, v = kv[:, :, :hid], kv[:, :, hid:]
+    outs = []
+    for h in range(n_heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh, kh, vh = q[:, :, sl], k[:, :, sl], v[:, :, sl]
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s * (scale * 1.4426950408889634)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pd = p * _mask(p.shape, rate, active) if active else p
+        o = jax.lax.dot_general(pd.astype(dt), vh,
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        outs.append((o / l).astype(dt))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _heads_fwd(qkv, n_heads, scale, rate, active, dt):
+    hid = qkv.shape[-1] // 3
+    return _heads_fwd_cross(qkv[:, :, :hid], qkv[:, :, hid:], n_heads, scale,
+                            rate, active, dt)
+
+
+def _heads_bwd_cross(q, kv, do, n_heads, scale, rate, active, dt):
+    """Flash-style attention backward with regenerated dropout masks.
+    Returns ``(dq, dkv)`` in the flat layouts of ``q``/``kv``."""
+    hid = q.shape[-1]
+    d = hid // n_heads
+    k, v = kv[:, :, :hid], kv[:, :, hid:]
+    dqs, dks, dvs = [], [], []
+    for h in range(n_heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh, kh, vh = q[:, :, sl], k[:, :, sl], v[:, :, sl]
+        doh = do[:, :, sl]
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s * (scale * 1.4426950408889634)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        a = p / l                                  # normalized weights
+        mk = _mask(a.shape, rate, active) if active else None
+        ad = a * mk if active else a
+        dv = jax.lax.dot_general(ad.astype(dt), doh,
+                                 (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        da = jax.lax.dot_general(doh, vh, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        if active:
+            da = da * mk
+        row = jnp.sum(da * a, axis=-1, keepdims=True)
+        ds = (a * (da - row)).astype(dt)
+        dq = jax.lax.dot_general(ds, kh, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, qh, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        dqs.append(dq.astype(dt))
+        dks.append(dk.astype(dt))
+        dvs.append(dv.astype(dt))
+    return (jnp.concatenate(dqs, axis=-1),
+            jnp.concatenate(dks + dvs, axis=-1))
+
+
+def _heads_bwd(qkv, do, n_heads, scale, rate, active, dt):
+    hid = qkv.shape[-1] // 3
+    dq, dkv = _heads_bwd_cross(qkv[:, :, :hid], qkv[:, :, hid:], do, n_heads,
+                               scale, rate, active, dt)
+    return jnp.concatenate([dq, dkv], axis=-1)
+
+
+def _enc_train_fwd_body(x, refs, n_heads, scale, rate, active, seed_ref):
+    """Weights arrive f32 (so cotangents keep f32 precision at the
+    custom_vjp boundary) and are cast to the compute dtype on read."""
+    (wqkv, bqkv, wo, bo, g, b, w1, b1, w2, b2) = refs
+    dt = x.dtype
+    c = lambda r: r[...].astype(dt)
+    qkv = _matmul(x, c(wqkv), c(bqkv))
+    if active:
+        _seed_site(seed_ref, _SITE_ATTN)
+    heads = _heads_fwd(qkv, n_heads, scale, rate, active, dt)
+    attn = _matmul(heads, c(wo), c(bo))
+    if active:
+        _seed_site(seed_ref, _SITE_ATTN_OUT)
+        attn = attn * _dropout_mask(attn.shape, rate).astype(dt)
+    y, _, _ = _ln_fwd(x + attn, g[...], b[...])
+    mid = jnp.maximum(_matmul(y, c(w1), c(b1)), 0)
+    if active:
+        _seed_site(seed_ref, _SITE_FFN_MID)
+        mid = mid * _dropout_mask(mid.shape, rate).astype(dt)
+    ff = _matmul(mid, c(w2), c(b2))
+    if active:
+        _seed_site(seed_ref, _SITE_FFN_OUT)
+        ff = ff * _dropout_mask(ff.shape, rate).astype(dt)
+    z, _, _ = _ln_fwd(y + ff, g[...], b[...])
+    return z
+
+
+def _enc_train_fwd_kernel(seed_ref, x_ref, *refs, n_heads, scale, rate,
+                          active):
+    o_ref = refs[-1]
+    o_ref[...] = _enc_train_fwd_body(x_ref[...], refs[:-1], n_heads, scale,
+                                     rate, active, seed_ref)
+
+
+def _enc_train_bwd_kernel(seed_ref, x_ref, do_ref, wqkv, bqkv, wo, bo, g, b,
+                          w1, b1, w2, b2, dx_ref, dwqkv_ref, dbqkv_ref,
+                          dwo_ref, dbo_ref, dg_ref, db_ref, dw1_ref, db1_ref,
+                          dw2_ref, db2_ref, *, n_heads, scale, rate, active):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in (dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref, dg_ref, db_ref,
+                  dw1_ref, db1_ref, dw2_ref, db2_ref):
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    x = x_ref[...]
+    dz = do_ref[...]
+    dt = x.dtype
+    c = lambda r: r[...].astype(dt)
+    gv = g[...]
+
+    # ---- recompute forward (identical PRNG streams) -------------------------
+    qkv = _matmul(x, c(wqkv), c(bqkv))
+    if active:
+        _seed_site(seed_ref, _SITE_ATTN)
+    heads = _heads_fwd(qkv, n_heads, scale, rate, active, dt)
+    attn_pre = _matmul(heads, c(wo), c(bo))
+    if active:
+        _seed_site(seed_ref, _SITE_ATTN_OUT)
+        m2 = _dropout_mask(attn_pre.shape, rate).astype(dt)
+        attn = attn_pre * m2
+    else:
+        attn = attn_pre
+    a1 = x + attn
+    y, xhat1, inv1 = _ln_fwd(a1, gv, b[...])
+    u = _matmul(y, c(w1), c(b1))
+    mid = jnp.maximum(u, 0)
+    if active:
+        _seed_site(seed_ref, _SITE_FFN_MID)
+        m3 = _dropout_mask(mid.shape, rate).astype(dt)
+        midd = mid * m3
+    else:
+        midd = mid
+    ff_pre = _matmul(midd, c(w2), c(b2))
+    if active:
+        _seed_site(seed_ref, _SITE_FFN_OUT)
+        m4 = _dropout_mask(ff_pre.shape, rate).astype(dt)
+        ff = ff_pre * m4
+    else:
+        ff = ff_pre
+    a2 = y + ff
+    _, xhat2, inv2 = _ln_fwd(a2, gv, b[...])
+
+    # ---- backward -----------------------------------------------------------
+    gf = gv.astype(jnp.float32)
+    da2, dg2, db2_ = _ln_bwd(dz, xhat2, inv2, gf)
+    da2 = da2.astype(dt)
+    dff = da2 * m4 if active else da2
+    # dW2 += midd^T dff  (flatten rows)
+    flat = lambda t: t.reshape(-1, t.shape[-1])
+    dw2_ref[...] += jax.lax.dot_general(
+        flat(midd), flat(dff), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db2_ref[...] += jnp.sum(dff.astype(jnp.float32), axis=(0, 1))
+    dmidd = jax.lax.dot_general(dff, c(w2), (((2,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32).astype(dt)
+    dmid = dmidd * m3 if active else dmidd
+    # relu mask compared in f32 (Mosaic rejects bf16 cmpf)
+    du = jnp.where(u.astype(jnp.float32) > 0, dmid, 0).astype(dt)
+    dw1_ref[...] += jax.lax.dot_general(
+        flat(y), flat(du), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1_ref[...] += jnp.sum(du.astype(jnp.float32), axis=(0, 1))
+    dy = da2 + jax.lax.dot_general(du, c(w1), (((2,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32
+                                   ).astype(dt)
+    da1, dg1, db1_ = _ln_bwd(dy, xhat1, inv1, gf)
+    da1 = da1.astype(dt)
+    dg_ref[...] += dg1 + dg2
+    db_ref[...] += db1_ + db2_
+    dattn = da1 * m2 if active else da1
+    dwo_ref[...] += jax.lax.dot_general(
+        flat(heads), flat(dattn), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbo_ref[...] += jnp.sum(dattn.astype(jnp.float32), axis=(0, 1))
+    dheads = jax.lax.dot_general(dattn, c(wo), (((2,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32
+                                 ).astype(dt)
+    if active:
+        _seed_site(seed_ref, _SITE_ATTN)
+    dqkv = _heads_bwd(qkv, dheads, n_heads, scale, rate, active, dt)
+    dwqkv_ref[...] += jax.lax.dot_general(
+        flat(x), flat(dqkv), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbqkv_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
+    dx = da1 + jax.lax.dot_general(dqkv, c(wqkv), (((2,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32
+                                   ).astype(dt)
+    dx_ref[...] = dx
+
+
+def _enc_train_bytes_per_row(l, hid, pf, itemsize):
+    # fwd body + grads live simultaneously in bwd; be conservative.
+    return (l * hid * 14 * itemsize + 2 * l * pf * itemsize + 2 * l * l * 4)
+
+
+def _seed2d(seed):
+    return jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+
+_SEED_SPEC = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def encoder_layer_train(x, p: EncoderLayerParams, seed, n_heads: int,
+                        rate: float, interpret: bool = False):
+    """Training forward of one self-attention block; differentiable wrt
+    ``x`` and every field of ``p``. ``seed`` (int32 scalar array) drives the
+    in-kernel dropout streams; it gets no gradient."""
+    return _enc_train_call(x, p, seed, n_heads, rate, interpret)
+
+
+def _enc_train_call(x, p, seed, n_heads, rate, interpret):
+    n, l, hid = x.shape
+    pf = p.w1.shape[1]
+    active = rate > 0.0
+    scale = 1.0 / float(hid // n_heads) ** 0.5
+    bn = _row_block(n, _enc_train_bytes_per_row(l, hid, pf, x.dtype.itemsize))
+    weights = [p.wqkv, p.bqkv, p.wo, p.bo, p.g, p.b, p.w1, p.b1, p.w2, p.b2]
+    return pl.pallas_call(
+        functools.partial(_enc_train_fwd_kernel, n_heads=n_heads, scale=scale,
+                          rate=rate, active=active and not interpret),
+        grid=(n // bn,),
+        in_specs=[_SEED_SPEC, _act_blk(bn, l, hid)]
+        + [_w_blk(w.shape) for w in weights],
+        out_specs=_act_blk(bn, l, hid),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(_seed2d(seed), x, *weights)
+
+
+def _enc_train_fwd(x, p, seed, n_heads, rate, interpret):
+    return _enc_train_call(x, p, seed, n_heads, rate, interpret), \
+        (x, p, seed)
+
+
+def _enc_train_bwd(n_heads, rate, interpret, res, dz):
+    x, p, seed = res
+    n, l, hid = x.shape
+    pf = p.w1.shape[1]
+    active = rate > 0.0 and not interpret
+    scale = 1.0 / float(hid // n_heads) ** 0.5
+    bn = _row_block(n, 2 * _enc_train_bytes_per_row(l, hid, pf,
+                                                    x.dtype.itemsize))
+    weights = [p.wqkv, p.bqkv, p.wo, p.bo, p.g, p.b, p.w1, p.b1, p.w2, p.b2]
+    grad_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                   for w in weights]
+    outs = pl.pallas_call(
+        functools.partial(_enc_train_bwd_kernel, n_heads=n_heads, scale=scale,
+                          rate=rate, active=active),
+        grid=(n // bn,),
+        in_specs=[_SEED_SPEC, _act_blk(bn, l, hid), _act_blk(bn, l, hid)]
+        + [_w_blk(w.shape) for w in weights],
+        out_specs=[_act_blk(bn, l, hid)] + [_w_blk(w.shape) for w in weights],
+        out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype)] + grad_shapes,
+        interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(_seed2d(seed), x, dz, *weights)
+    dx, *dws = outs
+    dp = EncoderLayerParams(*[d.astype(w.dtype)
+                              for d, w in zip(dws, weights)])
+    return dx, dp, None
+
+
+encoder_layer_train.defvjp(_enc_train_fwd, _enc_train_bwd)
+
+
+# ---------------------------------------------------------------------------
+# decoder blocks (cross-attention tail, optional self-attention prologue)
+# ---------------------------------------------------------------------------
+
+def _flat(t):
+    return t.reshape(-1, t.shape[-1])
+
+
+def _cross_tail_fwd_body(trg, enc, wq, bq, wkv, bkv, wo, bo, g, b, w1, b1,
+                         w2, b2, n_heads, scale, rate, active, seed_ref):
+    """Forward of q/kv cross-attention + FFN with shared post-LN (the
+    deterministic math of layer_fused._cross_tail plus dropout sites)."""
+    dt = trg.dtype
+    q = _matmul(trg, wq, bq)
+    kv = _matmul(enc, wkv, bkv)
+    if active:
+        _seed_site(seed_ref, _SITE_ATTN)
+    heads = _heads_fwd_cross(q, kv, n_heads, scale, rate, active, dt)
+    attn = _matmul(heads, wo, bo)
+    if active:
+        _seed_site(seed_ref, _SITE_ATTN_OUT)
+        attn = attn * _dropout_mask(attn.shape, rate).astype(dt)
+    y, _, _ = _ln_fwd(trg + attn, g, b)
+    mid = jnp.maximum(_matmul(y, w1, b1), 0)
+    if active:
+        _seed_site(seed_ref, _SITE_FFN_MID)
+        mid = mid * _dropout_mask(mid.shape, rate).astype(dt)
+    ff = _matmul(mid, w2, b2)
+    if active:
+        _seed_site(seed_ref, _SITE_FFN_OUT)
+        ff = ff * _dropout_mask(ff.shape, rate).astype(dt)
+    z, _, _ = _ln_fwd(y + ff, g, b)
+    return z
+
+
+def _self_prologue_fwd(trg, wsqkv, bsqkv, wso, bso, g, b, n_heads, scale,
+                       rate, active, seed_ref):
+    dt = trg.dtype
+    qkv = _matmul(trg, wsqkv, bsqkv)
+    if active:
+        _seed_site(seed_ref, _SITE_SA)
+    heads = _heads_fwd(qkv, n_heads, scale, rate, active, dt)
+    sa = _matmul(heads, wso, bso)
+    if active:
+        _seed_site(seed_ref, _SITE_SA_OUT)
+        sa = sa * _dropout_mask(sa.shape, rate).astype(dt)
+    t1, _, _ = _ln_fwd(trg + sa, g, b)
+    return t1
+
+
+def _dec_zero_train_fwd_kernel(seed_ref, trg_ref, enc_ref, *refs, n_heads,
+                               scale, rate, active):
+    (wq, bq, wkv, bkv, wo, bo, g, b, w1, b1, w2, b2, o_ref) = refs
+    dt = trg_ref.dtype
+    c = lambda r: r[...].astype(dt)
+    o_ref[...] = _cross_tail_fwd_body(
+        trg_ref[...], enc_ref[...], c(wq), c(bq), c(wkv), c(bkv), c(wo),
+        c(bo), g[...], b[...], c(w1), c(b1), c(w2), c(b2), n_heads, scale,
+        rate, active, seed_ref)
+
+
+def _dec_train_fwd_kernel(seed_ref, trg_ref, enc_ref, *refs, n_heads,
+                          scale, rate, active):
+    (wsqkv, bsqkv, wso, bso, wq, bq, wkv, bkv, wo, bo, g, b, w1, b1,
+     w2, b2, o_ref) = refs
+    dt = trg_ref.dtype
+    c = lambda r: r[...].astype(dt)
+    t1 = _self_prologue_fwd(trg_ref[...], c(wsqkv), c(bsqkv), c(wso), c(bso),
+                            g[...], b[...], n_heads, scale, rate, active,
+                            seed_ref)
+    o_ref[...] = _cross_tail_fwd_body(
+        t1, enc_ref[...], c(wq), c(bq), c(wkv), c(bkv), c(wo), c(bo),
+        g[...], b[...], c(w1), c(b1), c(w2), c(b2), n_heads, scale, rate,
+        active, seed_ref)
+
+
+def _cross_tail_bwd_body(trg, enc, dz, refs, acc, n_heads, scale, rate,
+                         active, seed_ref):
+    """Backward of the cross tail. ``refs`` = the 12 weight refs, ``acc`` =
+    the 12 matching f32 grad accumulators. Returns ``(dtrg, denc)``."""
+    (wq, bq, wkv, bkv, wo, bo, g, b, w1, b1, w2, b2) = refs
+    (dwq, dbq, dwkv, dbkv, dwo, dbo, dg, db, dw1, db1, dw2, db2) = acc
+    dt = trg.dtype
+    c = lambda r: r[...].astype(dt)
+    gv = g[...]
+    gf = gv.astype(jnp.float32)
+
+    # recompute forward with identical PRNG streams
+    q = _matmul(trg, c(wq), c(bq))
+    kv = _matmul(enc, c(wkv), c(bkv))
+    if active:
+        _seed_site(seed_ref, _SITE_ATTN)
+    heads = _heads_fwd_cross(q, kv, n_heads, scale, rate, active, dt)
+    attn_pre = _matmul(heads, c(wo), c(bo))
+    if active:
+        _seed_site(seed_ref, _SITE_ATTN_OUT)
+        m2 = _dropout_mask(attn_pre.shape, rate).astype(dt)
+        attn = attn_pre * m2
+    else:
+        attn = attn_pre
+    a1 = trg + attn
+    y, xhat1, inv1 = _ln_fwd(a1, gv, b[...])
+    u = _matmul(y, c(w1), c(b1))
+    mid = jnp.maximum(u, 0)
+    if active:
+        _seed_site(seed_ref, _SITE_FFN_MID)
+        m3 = _dropout_mask(mid.shape, rate).astype(dt)
+        midd = mid * m3
+    else:
+        midd = mid
+    ff_pre = _matmul(midd, c(w2), c(b2))
+    if active:
+        _seed_site(seed_ref, _SITE_FFN_OUT)
+        m4 = _dropout_mask(ff_pre.shape, rate).astype(dt)
+    a2 = y + (ff_pre * m4 if active else ff_pre)
+    _, xhat2, inv2 = _ln_fwd(a2, gv, b[...])
+
+    # backward
+    da2, dg2, db2_ = _ln_bwd(dz, xhat2, inv2, gf)
+    da2 = da2.astype(dt)
+    dff = da2 * m4 if active else da2
+    dw2[...] += jax.lax.dot_general(_flat(midd), _flat(dff),
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    db2[...] += jnp.sum(dff.astype(jnp.float32), axis=(0, 1))
+    dmidd = jax.lax.dot_general(dff, c(w2), (((2,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32).astype(dt)
+    dmid = dmidd * m3 if active else dmidd
+    # relu mask compared in f32 (Mosaic rejects bf16 cmpf)
+    du = jnp.where(u.astype(jnp.float32) > 0, dmid, 0).astype(dt)
+    dw1[...] += jax.lax.dot_general(_flat(y), _flat(du),
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    db1[...] += jnp.sum(du.astype(jnp.float32), axis=(0, 1))
+    dy = da2 + jax.lax.dot_general(du, c(w1), (((2,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32
+                                   ).astype(dt)
+    da1, dg1, db1_ = _ln_bwd(dy, xhat1, inv1, gf)
+    da1 = da1.astype(dt)
+    dg[...] += dg1 + dg2
+    db[...] += db1_ + db2_
+    dattn = da1 * m2 if active else da1
+    dwo[...] += jax.lax.dot_general(_flat(heads), _flat(dattn),
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    dbo[...] += jnp.sum(dattn.astype(jnp.float32), axis=(0, 1))
+    dheads = jax.lax.dot_general(dattn, c(wo), (((2,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32
+                                 ).astype(dt)
+    if active:
+        _seed_site(seed_ref, _SITE_ATTN)
+    dq, dkv = _heads_bwd_cross(q, kv, dheads, n_heads, scale, rate, active,
+                               dt)
+    dwq[...] += jax.lax.dot_general(_flat(trg), _flat(dq),
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    dbq[...] += jnp.sum(dq.astype(jnp.float32), axis=(0, 1))
+    dwkv[...] += jax.lax.dot_general(_flat(enc), _flat(dkv),
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dbkv[...] += jnp.sum(dkv.astype(jnp.float32), axis=(0, 1))
+    dtrg = da1 + jax.lax.dot_general(dq, c(wq), (((2,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32
+                                     ).astype(dt)
+    denc = jax.lax.dot_general(dkv, c(wkv), (((2,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32).astype(dt)
+    return dtrg, denc
+
+
+def _dec_zero_train_bwd_kernel(seed_ref, trg_ref, enc_ref, do_ref, *refs,
+                               n_heads, scale, rate, active):
+    weights = refs[:12]
+    dtrg_ref, denc_ref = refs[12], refs[13]
+    acc = refs[14:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in acc:
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    dtrg, denc = _cross_tail_bwd_body(
+        trg_ref[...], enc_ref[...], do_ref[...], weights, acc, n_heads,
+        scale, rate, active, seed_ref)
+    dtrg_ref[...] = dtrg
+    denc_ref[...] = denc
+
+
+def _dec_train_bwd_kernel(seed_ref, trg_ref, enc_ref, do_ref, *refs,
+                          n_heads, scale, rate, active):
+    weights = refs[:16]
+    (wsqkv, bsqkv, wso, bso) = weights[:4]
+    cross_w = weights[4:]
+    dtrg_ref, denc_ref = refs[16], refs[17]
+    acc = refs[18:]
+    (dwsqkv, dbsqkv, dwso, dbso) = acc[:4]
+    cross_acc = acc[4:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in acc:
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    trg = trg_ref[...]
+    dt = trg.dtype
+    c = lambda r: r[...].astype(dt)
+    g, b = weights[10], weights[11]
+    gv = g[...]
+    gf = gv.astype(jnp.float32)
+
+    # recompute self-attention prologue
+    qkv = _matmul(trg, c(wsqkv), c(bsqkv))
+    if active:
+        _seed_site(seed_ref, _SITE_SA)
+    sheads = _heads_fwd(qkv, n_heads, scale, rate, active, dt)
+    sa_pre = _matmul(sheads, c(wso), c(bso))
+    if active:
+        _seed_site(seed_ref, _SITE_SA_OUT)
+        msa = _dropout_mask(sa_pre.shape, rate).astype(dt)
+        sa = sa_pre * msa
+    else:
+        sa = sa_pre
+    a0 = trg + sa
+    t1, xhat0, inv0 = _ln_fwd(a0, gv, b[...])
+
+    # cross tail backward (gives gradient at t1)
+    dt1, denc = _cross_tail_bwd_body(
+        t1, enc_ref[...], do_ref[...], cross_w, cross_acc, n_heads, scale,
+        rate, active, seed_ref)
+    denc_ref[...] = denc
+
+    # self prologue backward
+    da0, dg0, db0 = _ln_bwd(dt1, xhat0, inv0, gf)
+    da0 = da0.astype(dt)
+    # shared LN: the same gamma/beta also accumulate from the prologue LN
+    cross_acc[6][...] += dg0         # dg
+    cross_acc[7][...] += db0         # db
+    dsa = da0 * msa if active else da0
+    dwso[...] += jax.lax.dot_general(_flat(sheads), _flat(dsa),
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dbso[...] += jnp.sum(dsa.astype(jnp.float32), axis=(0, 1))
+    dsheads = jax.lax.dot_general(dsa, c(wso), (((2,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32
+                                  ).astype(dt)
+    if active:
+        _seed_site(seed_ref, _SITE_SA)
+    dqkv = _heads_bwd(qkv, dsheads, n_heads, scale, rate, active, dt)
+    dwsqkv[...] += jax.lax.dot_general(_flat(trg), _flat(dqkv),
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+    dbsqkv[...] += jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
+    dtrg_ref[...] = da0 + jax.lax.dot_general(
+        dqkv, c(wsqkv), (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dt)
+
+
+def _dec_bytes_per_row(lq, lk, hid, pf, itemsize, with_self):
+    base = (lq * hid * (12 if with_self else 9) + lk * hid * 5
+            + 2 * lq * pf) * itemsize
+    return base + 2 * max(lq * lk, lq * lq) * 4
+
+
+def _dec_train_call(trg, enc, p, seed, n_heads, rate, interpret, kernel):
+    n, lq, hid = trg.shape
+    lk = enc.shape[1]
+    pf = p.w1.shape[1]
+    active = rate > 0.0 and not interpret
+    scale = 1.0 / float(hid // n_heads) ** 0.5
+    with_self = hasattr(p, "wsqkv")
+    bn = _row_block(n, _dec_bytes_per_row(lq, lk, hid, pf,
+                                          trg.dtype.itemsize, with_self))
+    weights = list(p)
+    return pl.pallas_call(
+        functools.partial(kernel, n_heads=n_heads, scale=scale, rate=rate,
+                          active=active),
+        grid=(n // bn,),
+        in_specs=[_SEED_SPEC, _act_blk(bn, lq, hid), _act_blk(bn, lk, hid)]
+        + [_w_blk(w.shape) for w in weights],
+        out_specs=_act_blk(bn, lq, hid),
+        out_shape=jax.ShapeDtypeStruct(trg.shape, trg.dtype),
+        interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(_seed2d(seed), trg, enc, *weights)
+
+
+def _dec_train_grad_call(trg, enc, p, seed, dz, n_heads, rate, interpret,
+                         kernel):
+    n, lq, hid = trg.shape
+    lk = enc.shape[1]
+    pf = p.w1.shape[1]
+    active = rate > 0.0 and not interpret
+    scale = 1.0 / float(hid // n_heads) ** 0.5
+    with_self = hasattr(p, "wsqkv")
+    bn = _row_block(n, 2 * _dec_bytes_per_row(lq, lk, hid, pf,
+                                              trg.dtype.itemsize, with_self))
+    weights = list(p)
+    outs = pl.pallas_call(
+        functools.partial(kernel, n_heads=n_heads, scale=scale, rate=rate,
+                          active=active),
+        grid=(n // bn,),
+        in_specs=[_SEED_SPEC, _act_blk(bn, lq, hid), _act_blk(bn, lk, hid),
+                  _act_blk(bn, lq, hid)]
+        + [_w_blk(w.shape) for w in weights],
+        out_specs=[_act_blk(bn, lq, hid), _act_blk(bn, lk, hid)]
+        + [_w_blk(w.shape) for w in weights],
+        out_shape=[jax.ShapeDtypeStruct(trg.shape, trg.dtype),
+                   jax.ShapeDtypeStruct(enc.shape, enc.dtype)]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights],
+        interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(_seed2d(seed), trg, enc, dz, *weights)
+    dtrg, denc, *dws = outs
+    dp = type(p)(*[d.astype(w.dtype) for d, w in zip(dws, weights)])
+    return dtrg, denc, dp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def decoder_layer_zero_train(trg, enc, p: DecZeroParams, seed, n_heads: int,
+                             rate: float, interpret: bool = False):
+    """Training forward of the cross-attention-only decoder block."""
+    return _dec_train_call(trg, enc, p, seed, n_heads, rate, interpret,
+                           _dec_zero_train_fwd_kernel)
+
+
+def _dec_zero_fwd(trg, enc, p, seed, n_heads, rate, interpret):
+    return decoder_layer_zero_train(trg, enc, p, seed, n_heads, rate,
+                                    interpret), (trg, enc, p, seed)
+
+
+def _dec_zero_bwd(n_heads, rate, interpret, res, dz):
+    trg, enc, p, seed = res
+    dtrg, denc, dp = _dec_train_grad_call(trg, enc, p, seed, dz, n_heads,
+                                          rate, interpret,
+                                          _dec_zero_train_bwd_kernel)
+    return dtrg, denc, dp, None
+
+
+decoder_layer_zero_train.defvjp(_dec_zero_fwd, _dec_zero_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def decoder_layer_train(trg, enc, p: DecLayerParams, seed, n_heads: int,
+                        rate: float, interpret: bool = False):
+    """Training forward of the self+cross decoder block."""
+    return _dec_train_call(trg, enc, p, seed, n_heads, rate, interpret,
+                           _dec_train_fwd_kernel)
+
+
+def _dec_full_fwd(trg, enc, p, seed, n_heads, rate, interpret):
+    return decoder_layer_train(trg, enc, p, seed, n_heads, rate,
+                               interpret), (trg, enc, p, seed)
+
+
+def _dec_full_bwd(n_heads, rate, interpret, res, dz):
+    trg, enc, p, seed = res
+    dtrg, denc, dp = _dec_train_grad_call(trg, enc, p, seed, dz, n_heads,
+                                          rate, interpret,
+                                          _dec_train_bwd_kernel)
+    return dtrg, denc, dp, None
+
+
+decoder_layer_train.defvjp(_dec_full_fwd, _dec_full_bwd)

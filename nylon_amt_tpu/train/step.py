@@ -145,15 +145,28 @@ def make_train_step(config: Config):
     """Build the jitted train step: ``(state, batch, dropout_rng) -> (state,
     metrics)``.
 
-    Under a mesh, shard ``batch`` on the data axis and leave params
+    On TPU with the Pallas path and a covered architecture, the forward/
+    backward run through the whole-layer fused training kernels
+    (``models/fused_train.py``) — one fwd + one analytic bwd kernel per
+    layer, dropout on the in-kernel PRNG — instead of the XLA autodiff
+    graph. Under a mesh, shard ``batch`` on the data axis and leave params
     replicated/TP-sharded: XLA inserts the gradient reductions.
     """
+    from nylon_amt_tpu.models import fused_train
+    from nylon_amt_tpu.models.hft import resolve_attention_impl
+    from nylon_amt_tpu.ops.attention import on_tpu
+
+    use_fused = (fused_train.supports(config) and on_tpu()
+                 and resolve_attention_impl(
+                     config.model.attention_impl) == "pallas")
+    fused_apply = fused_train.make_fused_apply(config) if use_fused else None
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict, dropout_rng: jax.Array):
         rng = jax.random.fold_in(dropout_rng, state.step)
+        apply_fn = fused_apply or state.apply_fn
         grad_fn = jax.value_and_grad(
-            lambda p: loss_fn(config, state.apply_fn, p, batch, rng,
+            lambda p: loss_fn(config, apply_fn, p, batch, rng,
                               state.batch_stats),
             has_aux=True)
         (_, aux), grads = grad_fn(state.params)

@@ -1,0 +1,88 @@
+"""Full-model parity of the fused training path vs flax autodiff.
+
+``models/fused_train.py`` runs the entire hFT forward through the
+custom-VJP layer kernels. At dropout 0 the loss AND every parameter
+gradient must match ``jax.grad`` through ``model.apply`` (the path that is
+itself trajectory-parity-tested against the torch reference).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nylon_amt_tpu.config import Config, ModelConfig, TrainConfig
+from nylon_amt_tpu.models import fused_train
+from nylon_amt_tpu.models.hft import build_model, init_params
+from nylon_amt_tpu.train.step import loss_fn
+
+
+def small_config(**model_kw):
+    kw = dict(hid_dim=16, pf_dim=32, enc_layer=2, dec_layer=2,
+              enc_head=2, dec_head=2, dropout=0.0)
+    kw.update(model_kw)
+    return Config(model=ModelConfig(**kw), train=TrainConfig(batch_size=2))
+
+
+def fake_batch(rng, cfg, B=2):
+    return {
+        "spec": jnp.asarray(
+            rng.standard_normal((B, cfg.feature.n_bins, cfg.window_frames)),
+            jnp.float32),
+        "onset": jnp.asarray(rng.random((B, 128, 88)) > 0.95, jnp.float32),
+        "offset": jnp.asarray(rng.random((B, 128, 88)) > 0.95, jnp.float32),
+        "mpe": jnp.asarray(rng.random((B, 128, 88)) > 0.7, jnp.float32),
+        "velocity": jnp.asarray(rng.integers(0, 128, (B, 128, 88)),
+                                jnp.int32),
+        "valid": jnp.ones((B,), jnp.float32),
+    }
+
+
+def test_fused_train_loss_and_grads_match_flax():
+    cfg = small_config()
+    rng = np.random.default_rng(0)
+    params = init_params(cfg, jax.random.key(1), batch_size=2)
+    model = build_model(cfg)
+    batch = fake_batch(rng, cfg)
+    fused_apply = fused_train.make_fused_apply(cfg, interpret=True)
+    assert fused_train.supports(cfg)
+
+    def loss_flax(p):
+        return loss_fn(cfg, model.apply, p, batch)[0]
+
+    def loss_fused(p):
+        return loss_fn(cfg, fused_apply, p, batch)[0]
+
+    l_flax, g_flax = jax.value_and_grad(loss_flax)(params)
+    l_fused, g_fused = jax.value_and_grad(loss_fused)(params)
+    np.testing.assert_allclose(float(l_fused), float(l_flax), rtol=1e-5)
+
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(g_fused)
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(g_flax)
+    assert len(flat_f) == len(flat_r)
+    for (path_f, a), (path_r, b) in zip(flat_f, flat_r):
+        assert path_f == path_r
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, float(np.max(np.abs(b))))
+        np.testing.assert_allclose(
+            a / scale, b / scale, atol=2e-4,
+            err_msg=jax.tree_util.keystr(path_f))
+
+
+def test_fused_train_supports_gating():
+    assert not fused_train.supports(small_config(enc_alg="cnnblock_safreq"))
+    assert not fused_train.supports(small_config(dec_alg="linear_satime"))
+    assert not fused_train.supports(small_config(remat=True))
+    assert fused_train.supports(small_config(dec_alg="cafreq"))
+
+
+def test_fused_train_cafreq_single_stage():
+    cfg = small_config(dec_alg="cafreq")
+    rng = np.random.default_rng(3)
+    params = init_params(cfg, jax.random.key(2), batch_size=2)
+    model = build_model(cfg)
+    batch = fake_batch(rng, cfg)
+    fused_apply = fused_train.make_fused_apply(cfg, interpret=True)
+    l_flax = loss_fn(cfg, model.apply, params, batch)[0]
+    l_fused = loss_fn(cfg, fused_apply, params, batch)[0]
+    np.testing.assert_allclose(float(l_fused), float(l_flax), rtol=1e-5)
