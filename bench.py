@@ -69,7 +69,7 @@ def train_throughput(iters: int = 10) -> dict:
     (8, dropout 0.1 — ``EXE-TRAINING-MAESTRO.sh``): device-side scan of
     full fwd+bwd+Adam steps. fwd+bwd+update ~= 3x forward FLOPs."""
     from nylon_amt_tpu.config import TrainConfig
-    from nylon_amt_tpu.train.step import create_train_state, loss_fn
+    from nylon_amt_tpu.train.step import create_train_state, make_train_step
 
     B = 8
     config = Config(
@@ -87,25 +87,18 @@ def train_throughput(iters: int = 10) -> dict:
         "valid": jnp.ones((B,), jnp.float32),
     }
     state = create_train_state(config, jax.random.key(0), batch_size=B)
+    # The PRODUCTION step (fused-layer custom-VJP path on TPU), not a
+    # hand-rolled loss/grad — this is what Trainer.fit runs.
+    step = make_train_step(config)
 
-    @jax.jit
-    def steps_n(state, batch, key):
-        def body(st, i):
-            rng_i = jax.random.fold_in(key, i)
-            grad_fn = jax.value_and_grad(
-                lambda p: loss_fn(config, st.apply_fn, p, batch, rng_i),
-                has_aux=True)
-            (_, metrics), grads = grad_fn(st.params)
-            return st.apply_gradients(grads=grads), metrics["loss"]
-
-        state, losses = jax.lax.scan(body, state, jnp.arange(iters))
-        return state, losses[-1]
-
-    state, last = steps_n(state, batch, jax.random.key(1))
-    float(last)  # compile + warm (the fetch is the only reliable fence)
+    state, metrics = step(state, batch, jax.random.key(1))
+    for _ in range(2):
+        state, metrics = step(state, batch, jax.random.key(2))
+    float(metrics["loss"])  # fence (block_until_ready lies via the tunnel)
     t0 = time.perf_counter()
-    state, last = steps_n(state, batch, jax.random.key(2))
-    float(last)
+    for _ in range(iters):
+        state, metrics = step(state, batch, jax.random.key(3))
+    float(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
     sec_per_window = (config.input.num_frame * config.feature.hop_sample
                       / config.feature.sr)
