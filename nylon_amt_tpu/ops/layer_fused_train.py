@@ -10,18 +10,23 @@ is saved between fwd and bwd) and emits ``dx`` plus all weight gradients,
 which accumulate across grid steps into f32 output blocks whose index never
 changes (sequential grid => safe read-modify-write).
 
-Dropout (the reference trains with rate 0.1 at four sites per encoder
-layer: the attention weights, the attention output, the FFN hidden, and the
-FFN output — ``model_spec2midi.py:222-245,348``) runs in-kernel on the
-Pallas PRNG: forward and backward regenerate identical masks from
-``seed + program_id * 8 + site`` — no mask is ever materialized in HBM.
-This is the fix for the torch/XLA-style dropout cost: threefry mask
-generation alone added ~108 ms to a batch-8 train step.
+Dropout (the reference trains with rate 0.1 at 4-6 sites per layer:
+attention weights, attention output, FFN hidden, FFN output —
+``model_spec2midi.py:222-245,348``) is computed in-kernel as a **pure hash
+of the global element index** (:func:`_keep_mask`): no mask is ever
+materialized in HBM (threefry mask generation alone added ~108 ms to a
+batch-8 train step), and — critically — the masks are identical between the
+forward and backward kernels *by construction*. The stateful Pallas PRNG
+cannot guarantee that: ``prng_random_bits`` output depends on the compiled
+vector layout, which differs between the two kernel binaries, and the
+resulting silent fwd/bwd mask mismatch produced wrong gradients (caught by
+``scripts/validate_fused_train_tpu.py``'s finite-difference check).
 
 Semantics match ``models.hft.EncoderLayer`` exactly (post-LN, ONE LayerNorm
 instance shared by both residuals, f32 LN statistics, bf16 matmuls with f32
 accumulation); gradient parity vs the flax/autodiff path is tested at
-dropout 0, dropout realizations are statistically validated on hardware.
+dropout 0 and via finite differences with dropout active (the hash mask is
+interpreter-compatible, so CPU tests cover the dropout path too).
 """
 
 from __future__ import annotations
@@ -34,7 +39,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nylon_amt_tpu.ops.attention import _dropout_mask
 from nylon_amt_tpu.ops.layer_fused import (
     _LN_EPS,
     EncoderLayerParams,
@@ -45,10 +49,10 @@ from nylon_amt_tpu.ops.layer_fused import (
     _w_blk,
 )
 
-# dropout site ids (PRNG stream offsets; must be identical in fwd and bwd)
+# dropout site tags (hash-stream selectors; attention sites use
+# tag_base * 64 + head)
 _SITE_ATTN, _SITE_ATTN_OUT, _SITE_FFN_MID, _SITE_FFN_OUT = 0, 1, 2, 3
 _SITE_SA, _SITE_SA_OUT = 4, 5
-_N_SITES = 8  # seed stride per program (room for future sites)
 
 
 class DecZeroParams(NamedTuple):
@@ -89,14 +93,34 @@ class DecLayerParams(NamedTuple):
     b2: jax.Array
 
 
-def _mask(shape, rate, active):
-    if not active:
-        return None
-    return _dropout_mask(shape, rate)
+def _keep_mask(seed, tag, row0, shape, rate):
+    """Layout-independent dropout keep-mask (scaled by 1/(1-rate)).
 
-
-def _seed_site(seed_ref, site):
-    pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * _N_SITES + site)
+    ``pltpu.prng_random_bits`` output depends on the compiled vector layout,
+    which can differ between the forward and backward kernel binaries even
+    for identical seeds and shapes — regenerated masks then silently
+    disagree and gradients are wrong. Instead the mask is a pure function
+    of the GLOBAL element index: a murmur3-style 32-bit hash of
+    ``(global_row, d1, d2)`` mixed with the layer seed and a per-site/head
+    tag. Identical in any kernel, any grid, any layout; ~8 VPU ops per
+    element (vs ~40 rounds for threefry).
+    """
+    _, d1, d2 = shape
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
+    c1 = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    c2 = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    lin = ((r * d1 + c1) * d2 + c2).astype(jnp.uint32)
+    x = lin ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)) \
+        ^ jnp.uint32((tag * 0x85EBCA6B) & 0xFFFFFFFF)
+    x = x * jnp.uint32(0xCC9E2D51)
+    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(15))
+    x = x * jnp.uint32(0x1B873593)
+    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(13))
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(16))
+    threshold = jnp.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
+    keep = (x >= threshold).astype(jnp.float32)
+    return keep * (1.0 / (1.0 - rate))
 
 
 def _ln_fwd(x, g, b):
@@ -121,10 +145,11 @@ def _ln_bwd(dy, xhat, inv, g):
     return dx, dgamma, dbeta
 
 
-def _heads_fwd_cross(q, kv, n_heads, scale, rate, active, dt):
+def _heads_fwd_cross(q, kv, n_heads, scale, rate, active, dt, drop,
+                     tag_base=_SITE_ATTN):
     """Per-head attention with optional in-kernel dropout on the normalized
-    weights (one PRNG stream per call site; heads drawn sequentially).
-    ``q [bn, Lq, hid]``, ``kv [bn, Lk, 2*hid]``."""
+    weights. ``q [bn, Lq, hid]``, ``kv [bn, Lk, 2*hid]``; ``drop(tag,
+    shape)`` yields the (layout-independent) keep mask for a site tag."""
     hid = q.shape[-1]
     d = hid // n_heads
     k, v = kv[:, :, :hid], kv[:, :, hid:]
@@ -138,7 +163,7 @@ def _heads_fwd_cross(q, kv, n_heads, scale, rate, active, dt):
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        pd = p * _mask(p.shape, rate, active) if active else p
+        pd = p * drop(tag_base * 64 + h, p.shape) if active else p
         o = jax.lax.dot_general(pd.astype(dt), vh,
                                 (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
@@ -146,14 +171,17 @@ def _heads_fwd_cross(q, kv, n_heads, scale, rate, active, dt):
     return jnp.concatenate(outs, axis=-1)
 
 
-def _heads_fwd(qkv, n_heads, scale, rate, active, dt):
+def _heads_fwd(qkv, n_heads, scale, rate, active, dt, drop,
+               tag_base=_SITE_ATTN):
     hid = qkv.shape[-1] // 3
     return _heads_fwd_cross(qkv[:, :, :hid], qkv[:, :, hid:], n_heads, scale,
-                            rate, active, dt)
+                            rate, active, dt, drop, tag_base)
 
 
-def _heads_bwd_cross(q, kv, do, n_heads, scale, rate, active, dt):
-    """Flash-style attention backward with regenerated dropout masks.
+def _heads_bwd_cross(q, kv, do, n_heads, scale, rate, active, dt, drop,
+                     tag_base=_SITE_ATTN):
+    """Flash-style attention backward with regenerated dropout masks
+    (identical by construction: the masks are pure index hashes).
     Returns ``(dq, dkv)`` in the flat layouts of ``q``/``kv``."""
     hid = q.shape[-1]
     d = hid // n_heads
@@ -170,7 +198,7 @@ def _heads_bwd_cross(q, kv, do, n_heads, scale, rate, active, dt):
         p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         a = p / l                                  # normalized weights
-        mk = _mask(a.shape, rate, active) if active else None
+        mk = drop(tag_base * 64 + h, a.shape) if active else None
         ad = a * mk if active else a
         dv = jax.lax.dot_general(ad.astype(dt), doh,
                                  (((1,), (1,)), ((0,), (0,))),
@@ -192,10 +220,11 @@ def _heads_bwd_cross(q, kv, do, n_heads, scale, rate, active, dt):
             jnp.concatenate(dks + dvs, axis=-1))
 
 
-def _heads_bwd(qkv, do, n_heads, scale, rate, active, dt):
+def _heads_bwd(qkv, do, n_heads, scale, rate, active, dt, drop,
+               tag_base=_SITE_ATTN):
     hid = qkv.shape[-1] // 3
     dq, dkv = _heads_bwd_cross(qkv[:, :, :hid], qkv[:, :, hid:], do, n_heads,
-                               scale, rate, active, dt)
+                               scale, rate, active, dt, drop, tag_base)
     return jnp.concatenate([dq, dkv], axis=-1)
 
 
@@ -205,23 +234,21 @@ def _enc_train_fwd_body(x, refs, n_heads, scale, rate, active, seed_ref):
     (wqkv, bqkv, wo, bo, g, b, w1, b1, w2, b2) = refs
     dt = x.dtype
     c = lambda r: r[...].astype(dt)
+    seed = seed_ref[0, 0]
+    row0 = pl.program_id(0) * x.shape[0]
+    drop = lambda tag, shape: _keep_mask(seed, tag, row0, shape, rate)
     qkv = _matmul(x, c(wqkv), c(bqkv))
-    if active:
-        _seed_site(seed_ref, _SITE_ATTN)
-    heads = _heads_fwd(qkv, n_heads, scale, rate, active, dt)
+    heads = _heads_fwd(qkv, n_heads, scale, rate, active, dt, drop)
     attn = _matmul(heads, c(wo), c(bo))
     if active:
-        _seed_site(seed_ref, _SITE_ATTN_OUT)
-        attn = attn * _dropout_mask(attn.shape, rate).astype(dt)
+        attn = attn * drop(_SITE_ATTN_OUT, attn.shape).astype(dt)
     y, _, _ = _ln_fwd(x + attn, g[...], b[...])
     mid = jnp.maximum(_matmul(y, c(w1), c(b1)), 0)
     if active:
-        _seed_site(seed_ref, _SITE_FFN_MID)
-        mid = mid * _dropout_mask(mid.shape, rate).astype(dt)
+        mid = mid * drop(_SITE_FFN_MID, mid.shape).astype(dt)
     ff = _matmul(mid, c(w2), c(b2))
     if active:
-        _seed_site(seed_ref, _SITE_FFN_OUT)
-        ff = ff * _dropout_mask(ff.shape, rate).astype(dt)
+        ff = ff * drop(_SITE_FFN_OUT, ff.shape).astype(dt)
     z, _, _ = _ln_fwd(y + ff, g[...], b[...])
     return z
 
@@ -248,16 +275,16 @@ def _enc_train_bwd_kernel(seed_ref, x_ref, do_ref, wqkv, bqkv, wo, bo, g, b,
     dt = x.dtype
     c = lambda r: r[...].astype(dt)
     gv = g[...]
+    seed = seed_ref[0, 0]
+    row0 = pl.program_id(0) * x.shape[0]
+    drop = lambda tag, shape: _keep_mask(seed, tag, row0, shape, rate)
 
-    # ---- recompute forward (identical PRNG streams) -------------------------
+    # ---- recompute forward (masks identical by construction) ----------------
     qkv = _matmul(x, c(wqkv), c(bqkv))
-    if active:
-        _seed_site(seed_ref, _SITE_ATTN)
-    heads = _heads_fwd(qkv, n_heads, scale, rate, active, dt)
+    heads = _heads_fwd(qkv, n_heads, scale, rate, active, dt, drop)
     attn_pre = _matmul(heads, c(wo), c(bo))
     if active:
-        _seed_site(seed_ref, _SITE_ATTN_OUT)
-        m2 = _dropout_mask(attn_pre.shape, rate).astype(dt)
+        m2 = drop(_SITE_ATTN_OUT, attn_pre.shape).astype(dt)
         attn = attn_pre * m2
     else:
         attn = attn_pre
@@ -266,15 +293,13 @@ def _enc_train_bwd_kernel(seed_ref, x_ref, do_ref, wqkv, bqkv, wo, bo, g, b,
     u = _matmul(y, c(w1), c(b1))
     mid = jnp.maximum(u, 0)
     if active:
-        _seed_site(seed_ref, _SITE_FFN_MID)
-        m3 = _dropout_mask(mid.shape, rate).astype(dt)
+        m3 = drop(_SITE_FFN_MID, mid.shape).astype(dt)
         midd = mid * m3
     else:
         midd = mid
     ff_pre = _matmul(midd, c(w2), c(b2))
     if active:
-        _seed_site(seed_ref, _SITE_FFN_OUT)
-        m4 = _dropout_mask(ff_pre.shape, rate).astype(dt)
+        m4 = drop(_SITE_FFN_OUT, ff_pre.shape).astype(dt)
         ff = ff_pre * m4
     else:
         ff = ff_pre
@@ -316,9 +341,7 @@ def _enc_train_bwd_kernel(seed_ref, x_ref, do_ref, wqkv, bqkv, wo, bo, g, b,
     dheads = jax.lax.dot_general(dattn, c(wo), (((2,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32
                                  ).astype(dt)
-    if active:
-        _seed_site(seed_ref, _SITE_ATTN)
-    dqkv = _heads_bwd(qkv, dheads, n_heads, scale, rate, active, dt)
+    dqkv = _heads_bwd(qkv, dheads, n_heads, scale, rate, active, dt, drop)
     dwqkv_ref[...] += jax.lax.dot_general(
         flat(x), flat(dqkv), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -355,11 +378,16 @@ def _enc_train_call(x, p, seed, n_heads, rate, interpret):
     pf = p.w1.shape[1]
     active = rate > 0.0
     scale = 1.0 / float(hid // n_heads) ** 0.5
-    bn = _row_block(n, _enc_train_bytes_per_row(l, hid, pf, x.dtype.itemsize))
+    # CRITICAL: forward and backward MUST use the same block size — the
+    # dropout PRNG streams are seeded per (program, site), so a different
+    # grid in the backward would regenerate misaligned masks (silently
+    # wrong gradients). Both sides size for the heavier backward body.
+    bn = _row_block(n, 2 * _enc_train_bytes_per_row(l, hid, pf,
+                                                    x.dtype.itemsize))
     weights = [p.wqkv, p.bqkv, p.wo, p.bo, p.g, p.b, p.w1, p.b1, p.w2, p.b2]
     return pl.pallas_call(
         functools.partial(_enc_train_fwd_kernel, n_heads=n_heads, scale=scale,
-                          rate=rate, active=active and not interpret),
+                          rate=rate, active=active),
         grid=(n // bn,),
         in_specs=[_SEED_SPEC, _act_blk(bn, l, hid)]
         + [_w_blk(w.shape) for w in weights],
@@ -379,7 +407,7 @@ def _enc_train_bwd(n_heads, rate, interpret, res, dz):
     x, p, seed = res
     n, l, hid = x.shape
     pf = p.w1.shape[1]
-    active = rate > 0.0 and not interpret
+    active = rate > 0.0
     scale = 1.0 / float(hid // n_heads) ** 0.5
     bn = _row_block(n, 2 * _enc_train_bytes_per_row(l, hid, pf,
                                                     x.dtype.itemsize))
@@ -415,45 +443,44 @@ def _flat(t):
 
 
 def _cross_tail_fwd_body(trg, enc, wq, bq, wkv, bkv, wo, bo, g, b, w1, b1,
-                         w2, b2, n_heads, scale, rate, active, seed_ref):
+                         w2, b2, n_heads, scale, rate, active, drop):
     """Forward of q/kv cross-attention + FFN with shared post-LN (the
     deterministic math of layer_fused._cross_tail plus dropout sites)."""
     dt = trg.dtype
     q = _matmul(trg, wq, bq)
     kv = _matmul(enc, wkv, bkv)
-    if active:
-        _seed_site(seed_ref, _SITE_ATTN)
-    heads = _heads_fwd_cross(q, kv, n_heads, scale, rate, active, dt)
+    heads = _heads_fwd_cross(q, kv, n_heads, scale, rate, active, dt, drop)
     attn = _matmul(heads, wo, bo)
     if active:
-        _seed_site(seed_ref, _SITE_ATTN_OUT)
-        attn = attn * _dropout_mask(attn.shape, rate).astype(dt)
+        attn = attn * drop(_SITE_ATTN_OUT, attn.shape).astype(dt)
     y, _, _ = _ln_fwd(trg + attn, g, b)
     mid = jnp.maximum(_matmul(y, w1, b1), 0)
     if active:
-        _seed_site(seed_ref, _SITE_FFN_MID)
-        mid = mid * _dropout_mask(mid.shape, rate).astype(dt)
+        mid = mid * drop(_SITE_FFN_MID, mid.shape).astype(dt)
     ff = _matmul(mid, w2, b2)
     if active:
-        _seed_site(seed_ref, _SITE_FFN_OUT)
-        ff = ff * _dropout_mask(ff.shape, rate).astype(dt)
+        ff = ff * drop(_SITE_FFN_OUT, ff.shape).astype(dt)
     z, _, _ = _ln_fwd(y + ff, g, b)
     return z
 
 
 def _self_prologue_fwd(trg, wsqkv, bsqkv, wso, bso, g, b, n_heads, scale,
-                       rate, active, seed_ref):
+                       rate, active, drop):
     dt = trg.dtype
     qkv = _matmul(trg, wsqkv, bsqkv)
-    if active:
-        _seed_site(seed_ref, _SITE_SA)
-    heads = _heads_fwd(qkv, n_heads, scale, rate, active, dt)
+    heads = _heads_fwd(qkv, n_heads, scale, rate, active, dt, drop,
+                       tag_base=_SITE_SA)
     sa = _matmul(heads, wso, bso)
     if active:
-        _seed_site(seed_ref, _SITE_SA_OUT)
-        sa = sa * _dropout_mask(sa.shape, rate).astype(dt)
+        sa = sa * drop(_SITE_SA_OUT, sa.shape).astype(dt)
     t1, _, _ = _ln_fwd(trg + sa, g, b)
     return t1
+
+
+def _drop_fn(seed_ref, bn, rate):
+    seed = seed_ref[0, 0]
+    row0 = pl.program_id(0) * bn
+    return lambda tag, shape: _keep_mask(seed, tag, row0, shape, rate)
 
 
 def _dec_zero_train_fwd_kernel(seed_ref, trg_ref, enc_ref, *refs, n_heads,
@@ -461,10 +488,11 @@ def _dec_zero_train_fwd_kernel(seed_ref, trg_ref, enc_ref, *refs, n_heads,
     (wq, bq, wkv, bkv, wo, bo, g, b, w1, b1, w2, b2, o_ref) = refs
     dt = trg_ref.dtype
     c = lambda r: r[...].astype(dt)
+    drop = _drop_fn(seed_ref, trg_ref.shape[0], rate)
     o_ref[...] = _cross_tail_fwd_body(
         trg_ref[...], enc_ref[...], c(wq), c(bq), c(wkv), c(bkv), c(wo),
         c(bo), g[...], b[...], c(w1), c(b1), c(w2), c(b2), n_heads, scale,
-        rate, active, seed_ref)
+        rate, active, drop)
 
 
 def _dec_train_fwd_kernel(seed_ref, trg_ref, enc_ref, *refs, n_heads,
@@ -473,17 +501,18 @@ def _dec_train_fwd_kernel(seed_ref, trg_ref, enc_ref, *refs, n_heads,
      w2, b2, o_ref) = refs
     dt = trg_ref.dtype
     c = lambda r: r[...].astype(dt)
+    drop = _drop_fn(seed_ref, trg_ref.shape[0], rate)
     t1 = _self_prologue_fwd(trg_ref[...], c(wsqkv), c(bsqkv), c(wso), c(bso),
                             g[...], b[...], n_heads, scale, rate, active,
-                            seed_ref)
+                            drop)
     o_ref[...] = _cross_tail_fwd_body(
         t1, enc_ref[...], c(wq), c(bq), c(wkv), c(bkv), c(wo), c(bo),
         g[...], b[...], c(w1), c(b1), c(w2), c(b2), n_heads, scale, rate,
-        active, seed_ref)
+        active, drop)
 
 
 def _cross_tail_bwd_body(trg, enc, dz, refs, acc, n_heads, scale, rate,
-                         active, seed_ref):
+                         active, drop):
     """Backward of the cross tail. ``refs`` = the 12 weight refs, ``acc`` =
     the 12 matching f32 grad accumulators. Returns ``(dtrg, denc)``."""
     (wq, bq, wkv, bkv, wo, bo, g, b, w1, b1, w2, b2) = refs
@@ -493,16 +522,13 @@ def _cross_tail_bwd_body(trg, enc, dz, refs, acc, n_heads, scale, rate,
     gv = g[...]
     gf = gv.astype(jnp.float32)
 
-    # recompute forward with identical PRNG streams
+    # recompute forward (masks identical by construction)
     q = _matmul(trg, c(wq), c(bq))
     kv = _matmul(enc, c(wkv), c(bkv))
-    if active:
-        _seed_site(seed_ref, _SITE_ATTN)
-    heads = _heads_fwd_cross(q, kv, n_heads, scale, rate, active, dt)
+    heads = _heads_fwd_cross(q, kv, n_heads, scale, rate, active, dt, drop)
     attn_pre = _matmul(heads, c(wo), c(bo))
     if active:
-        _seed_site(seed_ref, _SITE_ATTN_OUT)
-        m2 = _dropout_mask(attn_pre.shape, rate).astype(dt)
+        m2 = drop(_SITE_ATTN_OUT, attn_pre.shape).astype(dt)
         attn = attn_pre * m2
     else:
         attn = attn_pre
@@ -511,15 +537,13 @@ def _cross_tail_bwd_body(trg, enc, dz, refs, acc, n_heads, scale, rate,
     u = _matmul(y, c(w1), c(b1))
     mid = jnp.maximum(u, 0)
     if active:
-        _seed_site(seed_ref, _SITE_FFN_MID)
-        m3 = _dropout_mask(mid.shape, rate).astype(dt)
+        m3 = drop(_SITE_FFN_MID, mid.shape).astype(dt)
         midd = mid * m3
     else:
         midd = mid
     ff_pre = _matmul(midd, c(w2), c(b2))
     if active:
-        _seed_site(seed_ref, _SITE_FFN_OUT)
-        m4 = _dropout_mask(ff_pre.shape, rate).astype(dt)
+        m4 = drop(_SITE_FFN_OUT, ff_pre.shape).astype(dt)
     a2 = y + (ff_pre * m4 if active else ff_pre)
     _, xhat2, inv2 = _ln_fwd(a2, gv, b[...])
 
@@ -555,10 +579,8 @@ def _cross_tail_bwd_body(trg, enc, dz, refs, acc, n_heads, scale, rate,
     dheads = jax.lax.dot_general(dattn, c(wo), (((2,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32
                                  ).astype(dt)
-    if active:
-        _seed_site(seed_ref, _SITE_ATTN)
     dq, dkv = _heads_bwd_cross(q, kv, dheads, n_heads, scale, rate, active,
-                               dt)
+                               dt, drop)
     dwq[...] += jax.lax.dot_general(_flat(trg), _flat(dq),
                                     (((0,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
@@ -586,9 +608,10 @@ def _dec_zero_train_bwd_kernel(seed_ref, trg_ref, enc_ref, do_ref, *refs,
         for r in acc:
             r[...] = jnp.zeros(r.shape, r.dtype)
 
+    drop = _drop_fn(seed_ref, trg_ref.shape[0], rate)
     dtrg, denc = _cross_tail_bwd_body(
         trg_ref[...], enc_ref[...], do_ref[...], weights, acc, n_heads,
-        scale, rate, active, seed_ref)
+        scale, rate, active, drop)
     dtrg_ref[...] = dtrg
     denc_ref[...] = denc
 
@@ -614,16 +637,15 @@ def _dec_train_bwd_kernel(seed_ref, trg_ref, enc_ref, do_ref, *refs,
     g, b = weights[10], weights[11]
     gv = g[...]
     gf = gv.astype(jnp.float32)
+    drop = _drop_fn(seed_ref, trg.shape[0], rate)
 
     # recompute self-attention prologue
     qkv = _matmul(trg, c(wsqkv), c(bsqkv))
-    if active:
-        _seed_site(seed_ref, _SITE_SA)
-    sheads = _heads_fwd(qkv, n_heads, scale, rate, active, dt)
+    sheads = _heads_fwd(qkv, n_heads, scale, rate, active, dt, drop,
+                        tag_base=_SITE_SA)
     sa_pre = _matmul(sheads, c(wso), c(bso))
     if active:
-        _seed_site(seed_ref, _SITE_SA_OUT)
-        msa = _dropout_mask(sa_pre.shape, rate).astype(dt)
+        msa = drop(_SITE_SA_OUT, sa_pre.shape).astype(dt)
         sa = sa_pre * msa
     else:
         sa = sa_pre
@@ -633,7 +655,7 @@ def _dec_train_bwd_kernel(seed_ref, trg_ref, enc_ref, do_ref, *refs,
     # cross tail backward (gives gradient at t1)
     dt1, denc = _cross_tail_bwd_body(
         t1, enc_ref[...], do_ref[...], cross_w, cross_acc, n_heads, scale,
-        rate, active, seed_ref)
+        rate, active, drop)
     denc_ref[...] = denc
 
     # self prologue backward
@@ -650,9 +672,8 @@ def _dec_train_bwd_kernel(seed_ref, trg_ref, enc_ref, do_ref, *refs,
     dsheads = jax.lax.dot_general(dsa, c(wso), (((2,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32
                                   ).astype(dt)
-    if active:
-        _seed_site(seed_ref, _SITE_SA)
-    dqkv = _heads_bwd(qkv, dsheads, n_heads, scale, rate, active, dt)
+    dqkv = _heads_bwd(qkv, dsheads, n_heads, scale, rate, active, dt, drop,
+                      tag_base=_SITE_SA)
     dwsqkv[...] += jax.lax.dot_general(_flat(trg), _flat(dqkv),
                                        (((0,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
@@ -672,11 +693,12 @@ def _dec_train_call(trg, enc, p, seed, n_heads, rate, interpret, kernel):
     n, lq, hid = trg.shape
     lk = enc.shape[1]
     pf = p.w1.shape[1]
-    active = rate > 0.0 and not interpret
+    active = rate > 0.0
     scale = 1.0 / float(hid // n_heads) ** 0.5
     with_self = hasattr(p, "wsqkv")
-    bn = _row_block(n, _dec_bytes_per_row(lq, lk, hid, pf,
-                                          trg.dtype.itemsize, with_self))
+    # Same block size as the backward (see encoder note: PRNG alignment).
+    bn = _row_block(n, 2 * _dec_bytes_per_row(lq, lk, hid, pf,
+                                              trg.dtype.itemsize, with_self))
     weights = list(p)
     return pl.pallas_call(
         functools.partial(kernel, n_heads=n_heads, scale=scale, rate=rate,
@@ -696,7 +718,7 @@ def _dec_train_grad_call(trg, enc, p, seed, dz, n_heads, rate, interpret,
     n, lq, hid = trg.shape
     lk = enc.shape[1]
     pf = p.w1.shape[1]
-    active = rate > 0.0 and not interpret
+    active = rate > 0.0
     scale = 1.0 / float(hid // n_heads) ** 0.5
     with_self = hasattr(p, "wsqkv")
     bn = _row_block(n, 2 * _dec_bytes_per_row(lq, lk, hid, pf,

@@ -61,8 +61,8 @@ class Trainer:
         self.mesh = mesh
         os.makedirs(out_dir, exist_ok=True)
         self.ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"))
-        self.train_step = make_train_step(config)
-        self.eval_step = make_eval_step(config)
+        self.train_step = make_train_step(config, mesh=mesh)
+        self.eval_step = make_eval_step(config, mesh=mesh)
         self.scheduler = ReduceLROnPlateau(
             lr=config.train.lr, factor=config.train.plateau_factor,
             patience=config.train.plateau_patience)

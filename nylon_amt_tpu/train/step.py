@@ -79,6 +79,7 @@ def loss_fn(
     batch: dict,
     dropout_rng: jax.Array | None = None,
     batch_stats: Any = None,
+    denom: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, dict]:
     """Compute the weighted loss. Returns ``(loss, (metrics, new_stats))``
     when batch_stats is given (training a BatchNorm model), else
@@ -107,8 +108,11 @@ def loss_fn(
     if valid is None:
         valid = jnp.ones((B,), jnp.float32)
     # Per-row weights; normalizer counts valid rows (matching per-element
-    # mean over valid rows).
-    denom = jnp.maximum(valid.sum(), 1.0)
+    # mean over valid rows). A caller running data-parallel shards passes
+    # the GLOBAL valid count so per-shard partial losses psum to the exact
+    # single-device loss.
+    if denom is None:
+        denom = jnp.maximum(valid.sum(), 1.0)
 
     def bce(logits, targets):
         per = optax.sigmoid_binary_cross_entropy(logits, targets)
@@ -141,7 +145,8 @@ def loss_fn(
     return loss, metrics
 
 
-def make_train_step(config: Config):
+def make_train_step(config: Config, mesh=None, fused_apply: Callable | None
+                    = None):
     """Build the jitted train step: ``(state, batch, dropout_rng) -> (state,
     metrics)``.
 
@@ -149,17 +154,66 @@ def make_train_step(config: Config):
     backward run through the whole-layer fused training kernels
     (``models/fused_train.py``) — one fwd + one analytic bwd kernel per
     layer, dropout on the in-kernel PRNG — instead of the XLA autodiff
-    graph. Under a mesh, shard ``batch`` on the data axis and leave params
-    replicated/TP-sharded: XLA inserts the gradient reductions.
+    graph.
+
+    Multi-device: pass the Trainer's ``mesh``. The flax path relies on
+    jit + NamedSharding (XLA inserts the gradient psums). Pallas kernels
+    cannot be auto-partitioned by the SPMD partitioner, so the fused path
+    under a DP mesh runs inside ``shard_map``: each device computes grads
+    for its batch shard against the GLOBAL valid-count denominator and the
+    grads/metrics are psum'd — exactly the single-device math. With tensor
+    parallelism (model axis > 1) the fused path is disabled and the flax
+    jit-sharding path is used.
+
+    ``fused_apply`` overrides the auto-selection (tests pass an
+    interpret-mode apply to exercise the shard_map path on the CPU mesh).
     """
     from nylon_amt_tpu.models import fused_train
     from nylon_amt_tpu.models.hft import resolve_attention_impl
     from nylon_amt_tpu.ops.attention import on_tpu
+    from nylon_amt_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-    use_fused = (fused_train.supports(config) and on_tpu()
-                 and resolve_attention_impl(
-                     config.model.attention_impl) == "pallas")
-    fused_apply = fused_train.make_fused_apply(config) if use_fused else None
+    if fused_apply is None and (
+            fused_train.supports(config) and on_tpu()
+            and resolve_attention_impl(
+                config.model.attention_impl) == "pallas"):
+        fused_apply = fused_train.make_fused_apply(config)
+    if fused_apply is not None and mesh is not None \
+            and mesh.shape.get(MODEL_AXIS, 1) > 1:
+        fused_apply = None              # TP: use the flax jit-sharding path
+
+    if fused_apply is not None and mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        def shard_grads(params, batch, rng):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+            valid = batch.get("valid")
+            local = (valid.sum() if valid is not None
+                     else jnp.float32(batch["spec"].shape[0]))
+            denom = jnp.maximum(
+                jax.lax.psum(local, DATA_AXIS), 1.0)
+            grad_fn = jax.value_and_grad(
+                lambda p: loss_fn(config, fused_apply, p, batch, rng,
+                                  denom=denom), has_aux=True)
+            (_, metrics), grads = grad_fn(params)
+            grads = jax.lax.psum(grads, DATA_AXIS)
+            metrics = jax.tree_util.tree_map(
+                lambda m: jax.lax.psum(m, DATA_AXIS), metrics)
+            return grads, metrics
+
+        mapped = jax.shard_map(
+            shard_grads, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P()), out_specs=(P(), P()),
+            check_vma=False)  # pallas_call outputs carry no vma metadata
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch: dict,
+                       dropout_rng: jax.Array):
+            rng = jax.random.fold_in(dropout_rng, state.step)
+            grads, metrics = mapped(state.params, batch, rng)
+            return state.apply_gradients(grads), metrics
+
+        return train_step
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict, dropout_rng: jax.Array):
@@ -181,17 +235,19 @@ def make_train_step(config: Config):
     return train_step
 
 
-def make_eval_step(config: Config):
+def make_eval_step(config: Config, mesh=None):
     """Build the jitted validation-loss step.
 
     Deterministic forwards route through the fused-layer inference engine
     (``infer/engine.py``) when it covers the architecture and the Pallas
-    path is active — validation epochs then run at transcription speed."""
+    path is active — validation epochs then run at transcription speed.
+    Under a mesh the flax path is used (Pallas kernels cannot be
+    auto-partitioned; eval throughput is not the bottleneck there)."""
     from nylon_amt_tpu.infer import engine
     from nylon_amt_tpu.models.hft import resolve_attention_impl
     from nylon_amt_tpu.ops.attention import on_tpu
 
-    use_engine = (engine.supports(config) and on_tpu()
+    use_engine = (engine.supports(config) and on_tpu() and mesh is None
                   and resolve_attention_impl(
                       config.model.attention_impl) == "pallas")
 

@@ -91,7 +91,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from nylon_amt_tpu.config import Config, ModelConfig, TrainConfig
-    from nylon_amt_tpu.train.step import create_train_state, loss_fn
+    from nylon_amt_tpu.train.step import create_train_state, make_train_step
     from nylon_amt_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -112,29 +112,21 @@ def main() -> None:
         "valid": jnp.ones((B,), jnp.float32),
     }
     state = create_train_state(config, jax.random.key(0), batch_size=B)
-
-    @jax.jit
-    def steps_n(state, batch, key):
-        def body(carry, i):
-            st = carry
-            rng_i = jax.random.fold_in(key, i)
-            grad_fn = jax.value_and_grad(
-                lambda p: loss_fn(config, st.apply_fn, p, batch, rng_i),
-                has_aux=True)
-            (_, metrics), grads = grad_fn(st.params)
-            return st.apply_gradients(grads), metrics["loss"]
-
-        state, losses = jax.lax.scan(body, state, jnp.arange(args.iters))
-        return state, losses[-1]
+    # The PRODUCTION step (fused-layer custom-VJP path on TPU).
+    step = make_train_step(config)
 
     t0 = time.time()
-    state, last = steps_n(state, batch, jax.random.key(1))
-    float(last)
+    state, metrics = step(state, batch, jax.random.key(1))
+    float(metrics["loss"])
     print(f"# compile+first: {time.time() - t0:.0f}s", file=sys.stderr)
+    for _ in range(2):
+        state, metrics = step(state, batch, jax.random.key(2))
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
-    state, last = steps_n(state, batch, jax.random.key(2))
-    float(last)
+    for _ in range(args.iters):
+        state, metrics = step(state, batch, jax.random.key(3))
+    float(metrics["loss"])
     dt = (time.perf_counter() - t0) / args.iters
 
     sec_per_window = (config.input.num_frame * config.feature.hop_sample

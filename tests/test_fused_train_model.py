@@ -69,6 +69,39 @@ def test_fused_train_loss_and_grads_match_flax():
             err_msg=jax.tree_util.keystr(path_f))
 
 
+def test_fused_shard_map_dp_matches_single_device():
+    """The fused path under a DP mesh (shard_map + global-denominator loss
+    + psum'd grads) must produce the same step as the single-device fused
+    step — this is the multi-chip execution mode of the fused kernels
+    (pallas_call cannot be auto-partitioned by the SPMD partitioner)."""
+    from nylon_amt_tpu.parallel.mesh import make_mesh, shard_batch
+    from nylon_amt_tpu.train.step import create_train_state, make_train_step
+
+    cfg = small_config()
+    rng = np.random.default_rng(11)
+    B = 8
+    batch = fake_batch(rng, cfg, B)
+    # uneven valid mask: the global-denominator path must still match
+    batch["valid"] = jnp.asarray([1, 1, 1, 1, 1, 1, 1, 0], jnp.float32)
+    fused_apply = fused_train.make_fused_apply(cfg, interpret=True)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    state_m = create_train_state(cfg, jax.random.key(5), batch_size=B)
+    step_m = make_train_step(cfg, mesh=mesh, fused_apply=fused_apply)
+    sharded = shard_batch(batch, mesh)
+    state_m, metrics_m = step_m(state_m, sharded, jax.random.key(9))
+
+    state_s = create_train_state(cfg, jax.random.key(5), batch_size=B)
+    step_s = make_train_step(cfg, fused_apply=fused_apply)
+    state_s, metrics_s = step_s(state_s, batch, jax.random.key(9))
+
+    np.testing.assert_allclose(float(metrics_m["loss"]),
+                               float(metrics_s["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_m.params),
+                    jax.tree_util.tree_leaves(state_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
 def test_fused_train_supports_gating():
     assert not fused_train.supports(small_config(enc_alg="cnnblock_safreq"))
     assert not fused_train.supports(small_config(dec_alg="linear_satime"))

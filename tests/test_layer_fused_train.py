@@ -232,6 +232,39 @@ def test_decoder_full_forward_and_grads():
                                    err_msg=f"d{name}")
 
 
+def test_dropout_grad_finite_difference():
+    """With a FIXED seed the dropped forward is deterministic, so the
+    custom-VJP gradient must satisfy the finite-difference identity. This
+    is the check that catches fwd/bwd mask misalignment (the masks are
+    index hashes precisely so this holds for any grid/block size)."""
+    x, p = make_inputs(9)
+    seed = jnp.int32(42)
+    co = jnp.asarray(np.random.default_rng(10).standard_normal((N, L, HID)),
+                     jnp.float32)
+
+    def f(x):
+        return jnp.sum(encoder_layer_train(x, p, seed, HEADS, 0.3, True)
+                       * co)
+
+    assert float(f(x)) == float(f(x))          # deterministic under the seed
+    g = jax.grad(f)(x)
+    rng = np.random.default_rng(11)
+    v = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+    eps = 1e-3
+    fd = (float(f(x + eps * v)) - float(f(x - eps * v))) / (2 * eps)
+    directional = float(jnp.vdot(g, v))
+    assert abs(fd - directional) / max(1.0, abs(fd)) < 2e-2, (fd, directional)
+
+
+def test_dropout_masks_differ_between_sites_and_seeds():
+    x, p = make_inputs(12)
+    out_a = encoder_layer_train(x, p, jnp.int32(1), HEADS, 0.3, True)
+    out_b = encoder_layer_train(x, p, jnp.int32(2), HEADS, 0.3, True)
+    out_det = encoder_layer_train(x, p, jnp.int32(1), HEADS, 0.0, True)
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_det))
+
+
 def test_grad_accumulates_across_blocks():
     """Weight grads must sum over all grid programs (multiple row blocks)."""
     x, p = make_inputs(3)
