@@ -7,6 +7,8 @@ Subcommands replace the reference's EXE shell pipelines
 * ``train``      — the MAESTRO training recipe on TPU (DP mesh optional)
 * ``transcribe`` — WAV -> posteriors -> note events -> MIDI (+ JSON)
 * ``evaluate``   — note-level and frame-level scoring vs reference MIDI
+* ``serve``      — streaming transcription: PCM on stdin (or a simulated
+  file stream) -> note events as JSON lines, bounded latency
 
 Run ``python -m nylon_amt_tpu.cli <cmd> --help`` for flags.
 """
@@ -165,7 +167,13 @@ def cmd_transcribe(args) -> int:
 
     config = _load_config(args.config)
     params = _load_params(args, config)
-    tr = Transcriber(config, params=params, batch_windows=args.batch_windows)
+    mesh = None
+    if getattr(args, "n_data", None) and args.n_data > 1:
+        from nylon_amt_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.n_data)
+    tr = Transcriber(config, params=params, batch_windows=args.batch_windows,
+                     mesh=mesh)
 
     wavs = list(args.wav or [])
     if args.list:
@@ -219,6 +227,62 @@ def cmd_transcribe(args) -> int:
             np.savez_compressed(os.path.join(out_dir, stem + ".post.npz"),
                                 **post)
         print(f"{wav}: {len(notes)} notes -> {out_dir}/{stem}.mid")
+    return 0
+
+
+# ----------------------------------------------------------------- serve ----
+
+def cmd_serve(args) -> int:
+    """Streaming transcription service (the reference has no serving path).
+
+    Reads audio as signed-16-bit little-endian PCM at the config sample rate
+    from stdin (or simulates a stream from ``--wav``), feeds it to the
+    :class:`StreamingTranscriber` in ``--chunk-ms`` chunks, and prints each
+    note event as one JSON line the moment it becomes stable (guaranteed
+    not to change with more audio). A final flush emits the tail; ``--midi``
+    additionally writes the full result as a MIDI file.
+    """
+    from nylon_amt_tpu.infer.stream import StreamingTranscriber
+
+    config = _load_config(args.config)
+    params = _load_params(args, config)
+    st = StreamingTranscriber(config, params=params,
+                              batch_windows=args.batch_windows)
+    sr = config.feature.sr
+    chunk = max(1, int(sr * args.chunk_ms / 1000))
+    emitted: set[tuple] = set()
+
+    def emit(notes) -> None:
+        for n in notes:
+            key = (n["onset"], n["pitch"])
+            if key not in emitted:
+                emitted.add(key)
+                print(json.dumps(n), flush=True)
+
+    if args.wav:
+        from nylon_amt_tpu.utils.wavio import load_mono
+
+        wav = load_mono(args.wav, sr)
+        for i in range(0, wav.shape[0], chunk):
+            if st.feed(wav[i : i + chunk]):
+                emit(st.stable_notes())
+    else:
+        while True:
+            data = sys.stdin.buffer.read(chunk * 2)
+            if not data:
+                break
+            samples = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+            if st.feed(samples):
+                emit(st.stable_notes())
+    st.flush()
+    notes = st.notes()
+    emit(notes)
+    if args.midi:
+        from nylon_amt_tpu.midi.smf import write_notes
+
+        write_notes(args.midi, notes)
+    print(f"# {len(notes)} notes, latency {st.latency_seconds:.2f}s",
+          file=sys.stderr)
     return 0
 
 
@@ -350,6 +414,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--stride", type=int, default=-1,
                    help="center-crop offset for half-window stride mode")
     r.add_argument("--batch-windows", type=int, default=8)
+    r.add_argument("--n-data", type=int,
+                   help="shard each window batch over an n-chip data mesh")
     r.add_argument("--thred-onset", type=float, default=0.5)
     r.add_argument("--thred-offset", type=float, default=0.5)
     r.add_argument("--thred-mpe", type=float, default=0.5)
@@ -359,6 +425,20 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--tab", action="store_true",
                    help="also export guitar tablature (alphaTex)")
     r.set_defaults(fn=cmd_transcribe)
+
+    v = sub.add_parser("serve", help="streaming transcription (PCM stdin or "
+                                     "simulated --wav stream) -> note JSONL")
+    v.add_argument("--config")
+    v.add_argument("--checkpoint", required=True,
+                   help="orbax checkpoint dir, or reference .pkl/.dat")
+    v.add_argument("--epoch", type=int)
+    v.add_argument("--div", type=int)
+    v.add_argument("--wav", help="simulate streaming from a WAV file "
+                                 "(default: s16le PCM on stdin)")
+    v.add_argument("--chunk-ms", type=float, default=500.0)
+    v.add_argument("--batch-windows", type=int, default=1)
+    v.add_argument("--midi", help="also write the final MIDI here")
+    v.set_defaults(fn=cmd_serve)
 
     e = sub.add_parser("evaluate", help="score estimated vs reference notes")
     e.add_argument("--config")

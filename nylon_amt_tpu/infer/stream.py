@@ -1,0 +1,249 @@
+"""Online (streaming) transcription with bounded latency.
+
+The reference has no serving path at all — its inference is the offline
+batch loop of ``evaluation/m_inference.py`` over whole files. This module
+adds a production serving capability on top of the same model + decoder:
+audio arrives in arbitrary-size chunks (a socket, a sound card, a pipe) and
+posterior blocks / note events are emitted as soon as they are final.
+
+Design — everything is incremental but **numerically equal to the offline
+path** (``Transcriber.transcript``, to reduction-order ulps), which is what
+makes it testable:
+
+* **Features.** STFT frame ``i`` covers samples ``[i*hop - n_fft/2,
+  i*hop + n_fft/2)`` (center padding, ``amt.py:55-63`` semantics). A frame
+  is *final* once ``i*hop + n_fft/2`` samples have arrived; finalized
+  frames are built from the sample ring buffer and pushed through
+  ``MelFrontend.features_from_frames`` — the same per-row computation as
+  offline (equal up to f32 matmul reduction-order ulps, since the frame
+  batch sizes differ).
+* **Posteriors.** The model consumes 192-frame windows = a 128-frame block
+  plus ``margin_b`` past and ``margin_f`` future context
+  (``amt.py:70-96``). Block ``k`` is final once feature frame
+  ``128(k+1) + margin_f`` exists, so the algorithmic latency is
+  ``num_frame + margin_f`` frames (160 frames = 2.56 s at the reference
+  geometry) plus the ``n_fft/2`` sample lookahead of the STFT (64 ms).
+* **Notes.** ``notes()`` decodes the posteriors accumulated so far (the
+  decoder is causal in the sense that a note is determined once its offset
+  and the following onset-free gap are seen); notes ending more than
+  ``guard`` frames before the stream head are stable and never change on
+  future feeds — callers can emit them immediately.
+* **flush()** reproduces the offline tail padding (zero samples for the
+  STFT, ``min_value`` feature rows + ``margin_f`` for the model), after
+  which the concatenated posteriors equal ``transcript()`` of the whole
+  recording.
+
+Only ``pad_mode="constant"`` is supported (the reference config's value):
+reflect padding would make early/late frames depend on future samples.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from nylon_amt_tpu.config import Config
+from nylon_amt_tpu.infer.transcribe import Transcriber
+
+_POST_KEYS = ("onset", "offset", "mpe", "velocity")
+
+
+class StreamingTranscriber:
+    """Incremental audio -> posterior-block -> note-event pipeline.
+
+    Wraps a :class:`Transcriber` (or builds one from ``config``/``params``)
+    and maintains sample/feature ring buffers. Typical loop::
+
+        st = StreamingTranscriber(config, params=params)
+        for chunk in audio_source:          # any chunk sizes
+            blocks = st.feed(chunk)         # 0+ finalized posterior blocks
+        st.flush()
+        notes = st.notes()                  # == offline decode
+    """
+
+    def __init__(self, config: Config, params: Any = None,
+                 transcriber: Transcriber | None = None, mode: str =
+                 "combination", **tr_kwargs):
+        if config.feature.pad_mode != "constant":
+            raise ValueError("streaming requires pad_mode='constant' "
+                             f"(got {config.feature.pad_mode!r})")
+        self.config = config
+        self.mode = mode
+        self.tr = transcriber or Transcriber(config, params=params,
+                                             **tr_kwargs)
+        cfg = config
+        self._hop = cfg.feature.hop_sample
+        self._n_fft = cfg.feature.fft_bins
+        self._pad = self._n_fft // 2
+        self._n_frame = cfg.input.num_frame
+        self._margin_b = cfg.input.margin_b
+        self._margin_f = cfg.input.margin_f
+        self._n_bins = cfg.feature.n_bins
+        self._min_value = np.float32(cfg.input.min_value)
+
+        # sample ring buffer: buf[0] is global sample index `buf_start`
+        self._buf = np.zeros(0, np.float32)
+        self._buf_start = 0
+        self._n_samples = 0            # total samples fed
+        self._next_frame = 0           # next feature frame to finalize
+        # feature ring buffer: rows [feat_start, feat_start + len(feat))
+        self._feat = np.zeros((0, self._n_bins), np.float32)
+        self._feat_start = 0
+        self._next_block = 0           # next posterior block to emit
+        self._posteriors: list[dict[str, np.ndarray]] = []
+        self._flushed = False
+
+    # -- properties -----------------------------------------------------------
+
+    @property
+    def latency_seconds(self) -> float:
+        """Algorithmic emit latency: block + future margin + STFT lookahead."""
+        fps = self.config.feature.frames_per_sec
+        return (self._n_frame + self._margin_f) / fps + \
+            self._pad / self.config.feature.sr
+
+    @property
+    def frames_emitted(self) -> int:
+        return self._next_block * self._n_frame
+
+    # -- feeding --------------------------------------------------------------
+
+    def feed(self, samples: np.ndarray) -> list[dict[str, np.ndarray]]:
+        """Append audio samples; return any posterior blocks finalized by
+        them (each ``{onset_A, ...: [num_frame, num_note]}``)."""
+        if self._flushed:
+            raise RuntimeError("feed() after flush()")
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._buf = np.concatenate([self._buf, samples])
+        self._n_samples += samples.shape[0]
+        self._advance_frames(last_frame=(self._n_samples - self._pad)
+                             // self._hop)
+        return self._emit_ready_blocks(final=False)
+
+    def flush(self) -> list[dict[str, np.ndarray]]:
+        """End of stream: finalize tail frames (zero right pad) and emit the
+        remaining blocks with offline tail padding. Idempotent."""
+        if self._flushed:
+            return []
+        self._flushed = True
+        # offline frame count: 1 + n_samples // hop  (mel.py num_frames)
+        self._advance_frames(last_frame=self._n_samples // self._hop,
+                             right_pad=True)
+        return self._emit_ready_blocks(final=True)
+
+    def _advance_frames(self, last_frame: int, right_pad: bool = False
+                        ) -> None:
+        """Finalize feature frames ``self._next_frame .. last_frame``."""
+        if last_frame < self._next_frame:
+            return
+        f0, f1 = self._next_frame, last_frame + 1
+        lo = f0 * self._hop - self._pad                 # global sample range
+        hi = (f1 - 1) * self._hop - self._pad + self._n_fft
+        seg_lo, seg_hi = max(lo, 0), min(hi, self._n_samples)
+        seg = self._buf[seg_lo - self._buf_start : seg_hi - self._buf_start]
+        if lo < 0 or hi > self._n_samples:              # stream edges: zeros
+            seg = np.pad(seg, (seg_lo - lo, hi - seg_hi))
+        starts = (np.arange(f0, f1) * self._hop - self._pad) - lo
+        frames = seg[starts[:, None] + np.arange(self._n_fft)[None, :]]
+        feats = np.asarray(self.tr.frontend.features_from_frames(frames))
+        self._feat = np.concatenate([self._feat, feats])
+        self._next_frame = f1
+        if not right_pad:
+            # drop samples no longer needed by any future frame
+            keep_from = self._next_frame * self._hop - self._pad
+            if keep_from > self._buf_start:
+                self._buf = self._buf[keep_from - self._buf_start:]
+                self._buf_start = keep_from
+
+    # -- windows --------------------------------------------------------------
+
+    def _emit_ready_blocks(self, final: bool) -> list[dict[str, np.ndarray]]:
+        """Run every block whose future margin is available (all remaining
+        blocks when ``final``, with ``min_value`` tail padding)."""
+        if final:
+            # offline block count: ceil(T / num_frame) (amt.py:70-74)
+            n_blocks = -(-self._next_frame // self._n_frame)
+            blocks = list(range(self._next_block, n_blocks))
+        else:
+            n_feat_end = self._feat_start + self._feat.shape[0]
+            blocks = []
+            k = self._next_block
+            while n_feat_end >= (k + 1) * self._n_frame + self._margin_f:
+                blocks.append(k)
+                k += 1
+        if not blocks:
+            return []
+
+        windows = np.stack([self._window(k) for k in blocks])
+        post = self.tr._run_all(windows.transpose(0, 2, 1))
+        out = []
+        fams = ("A", "B") if self.mode == "combination" and \
+            "onset_B" in post else ("A",)
+        for i, _ in enumerate(blocks):
+            out.append({f"{key}_{fam}": np.asarray(post[f"{key}_{fam}"][i])
+                        for fam in fams for key in _POST_KEYS})
+        self._posteriors.extend(out)
+        self._next_block = blocks[-1] + 1
+        # drop feature rows older than the next window's left edge
+        keep_from = self._next_block * self._n_frame - self._margin_b
+        if keep_from > self._feat_start:
+            self._feat = self._feat[keep_from - self._feat_start:]
+            self._feat_start = keep_from
+        return out
+
+    def _window(self, k: int) -> np.ndarray:
+        """Feature window for block ``k``: rows ``[128k - margin_b,
+        128k + num_frame + margin_f)`` with ``min_value`` padding outside
+        the recording (matches ``Transcriber.transcript`` geometry)."""
+        lo = k * self._n_frame - self._margin_b
+        hi = (k + 1) * self._n_frame + self._margin_f
+        n_rows = hi - lo
+        win = np.full((n_rows, self._n_bins), self._min_value, np.float32)
+        src_lo = max(lo, self._feat_start)
+        src_hi = min(hi, self._feat_start + self._feat.shape[0])
+        if src_hi > src_lo:
+            win[src_lo - lo : src_hi - lo] = \
+                self._feat[src_lo - self._feat_start :
+                           src_hi - self._feat_start]
+        return win
+
+    # -- results --------------------------------------------------------------
+
+    def posteriors(self) -> dict[str, np.ndarray]:
+        """All emitted blocks concatenated: ``[frames_emitted, num_note]``
+        per key — after ``flush()`` this equals ``transcript()`` of the
+        whole recording."""
+        if not self._posteriors:
+            fams = ("A", "B") if self.mode == "combination" else ("A",)
+            n_note = self.config.midi.num_note
+            return {f"{key}_{fam}": np.zeros((0, n_note), np.float32)
+                    for fam in fams for key in _POST_KEYS}
+        keys = self._posteriors[0].keys()
+        return {key: np.concatenate([p[key] for p in self._posteriors])
+                for key in keys}
+
+    def notes(self, fam: str | None = None, **decode_kwargs) -> list[dict]:
+        """Decode the posteriors emitted so far into note events (reference
+        ``mpe2note`` rules). After ``flush()`` this equals the offline
+        decode of the full recording."""
+        post = self.posteriors()
+        if fam is None:
+            fam = "B" if "onset_B" in post else "A"
+        if post[f"onset_{fam}"].shape[0] == 0:
+            return []
+        return self.tr.mpe2note(
+            post[f"onset_{fam}"], post[f"offset_{fam}"], post[f"mpe_{fam}"],
+            post[f"velocity_{fam}"], **decode_kwargs)
+
+    def stable_notes(self, guard_frames: int | None = None,
+                     fam: str | None = None, **decode_kwargs) -> list[dict]:
+        """Notes guaranteed not to change as more audio arrives: offset
+        resolved more than ``guard_frames`` before the emitted head (default
+        one block + offset tolerance). Suitable for live emission."""
+        if guard_frames is None:
+            guard_frames = self._n_frame + 8
+        fps = self.config.feature.frames_per_sec
+        horizon = (self.frames_emitted - guard_frames) / fps
+        return [n for n in self.notes(fam=fam, **decode_kwargs)
+                if n["offset"] < horizon]

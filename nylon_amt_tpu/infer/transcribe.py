@@ -40,7 +40,8 @@ class Transcriber:
     (``amt.py:9-31``): feature extraction + windowed transcription."""
 
     def __init__(self, config: Config, params: Any = None, model=None,
-                 batch_windows: int = 8, use_engine: bool | None = None):
+                 batch_windows: int = 8, use_engine: bool | None = None,
+                 mesh=None):
         self.config = config
         self.params = params
         custom_model = model is not None
@@ -61,7 +62,34 @@ class Transcriber:
                           and resolve_attention_impl(
                               config.model.attention_impl) == "pallas")
         self.use_engine = use_engine
-        self._jit_batch = jax.jit(self._run_batch)
+        self.mesh = mesh
+        n_data = 1
+        if mesh is not None:
+            from nylon_amt_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            if mesh.shape.get(MODEL_AXIS, 1) > 1:
+                raise ValueError(
+                    "Transcriber parallelism is data-only (the model is "
+                    "<10 M params); build the mesh with n_model=1")
+            n_data = mesh.shape.get(DATA_AXIS, 1)
+        if n_data > 1:
+            # Data-parallel transcription: the window batch is sharded over
+            # the mesh's data axis and each chip runs the (Pallas or flax)
+            # forward on its shard — same shard_map pattern as the DP train
+            # step (Pallas kernels cannot be auto-partitioned by the SPMD
+            # partitioner). Batches are padded up to a multiple of n_data.
+            from jax.sharding import PartitionSpec as P
+
+            from nylon_amt_tpu.parallel.mesh import DATA_AXIS
+
+            self.batch_windows = -(-batch_windows // n_data) * n_data
+            mapped = jax.shard_map(
+                self._run_batch, mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS)), out_specs=P(DATA_AXIS),
+                check_vma=False)  # pallas outputs carry no vma metadata
+            self._jit_batch = jax.jit(mapped)
+        else:
+            self._jit_batch = jax.jit(self._run_batch)
 
     # -- L1: features --------------------------------------------------------
 

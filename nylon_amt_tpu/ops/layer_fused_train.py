@@ -49,10 +49,17 @@ from nylon_amt_tpu.ops.layer_fused import (
     _w_blk,
 )
 
-# dropout site tags (hash-stream selectors; attention sites use
-# tag_base * 64 + head)
+# dropout site tags (hash-stream selectors; attention-weight sites use
+# _head_tag = (tag_base + 8) * 64 + head so per-head streams can never
+# collide with the scalar site tags below — with plain ``tag_base*64 + h``,
+# head 1's score mask equaled the _SITE_ATTN_OUT mask bit-for-bit wherever
+# the score and activation shapes coincide, e.g. L == hid at paper scale)
 _SITE_ATTN, _SITE_ATTN_OUT, _SITE_FFN_MID, _SITE_FFN_OUT = 0, 1, 2, 3
 _SITE_SA, _SITE_SA_OUT = 4, 5
+
+
+def _head_tag(tag_base, head):
+    return (tag_base + 8) * 64 + head
 
 
 class DecZeroParams(NamedTuple):
@@ -163,7 +170,7 @@ def _heads_fwd_cross(q, kv, n_heads, scale, rate, active, dt, drop,
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        pd = p * drop(tag_base * 64 + h, p.shape) if active else p
+        pd = p * drop(_head_tag(tag_base, h), p.shape) if active else p
         o = jax.lax.dot_general(pd.astype(dt), vh,
                                 (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
@@ -198,7 +205,7 @@ def _heads_bwd_cross(q, kv, do, n_heads, scale, rate, active, dt, drop,
         p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         a = p / l                                  # normalized weights
-        mk = drop(tag_base * 64 + h, a.shape) if active else None
+        mk = drop(_head_tag(tag_base, h), a.shape) if active else None
         ad = a * mk if active else a
         dv = jax.lax.dot_general(ad.astype(dt), doh,
                                  (((1,), (1,)), ((0,), (0,))),
@@ -378,12 +385,13 @@ def _enc_train_call(x, p, seed, n_heads, rate, interpret):
     pf = p.w1.shape[1]
     active = rate > 0.0
     scale = 1.0 / float(hid // n_heads) ** 0.5
-    # CRITICAL: forward and backward MUST use the same block size — the
-    # dropout PRNG streams are seeded per (program, site), so a different
-    # grid in the backward would regenerate misaligned masks (silently
-    # wrong gradients). Both sides size for the heavier backward body.
-    bn = _row_block(n, 2 * _enc_train_bytes_per_row(l, hid, pf,
-                                                    x.dtype.itemsize))
+    # Forward and backward grids need NOT match: the dropout masks are pure
+    # hashes of the GLOBAL element index (`_keep_mask` uses
+    # ``program_id * block_rows + local_row``), so any block size regenerates
+    # identical masks. The forward sizes for its own lighter body; the
+    # backward doubles the estimate for its recompute+grad working set.
+    bn = _row_block(n, _enc_train_bytes_per_row(l, hid, pf,
+                                                x.dtype.itemsize))
     weights = [p.wqkv, p.bqkv, p.wo, p.bo, p.g, p.b, p.w1, p.b1, p.w2, p.b2]
     return pl.pallas_call(
         functools.partial(_enc_train_fwd_kernel, n_heads=n_heads, scale=scale,
@@ -696,9 +704,11 @@ def _dec_train_call(trg, enc, p, seed, n_heads, rate, interpret, kernel):
     active = rate > 0.0
     scale = 1.0 / float(hid // n_heads) ** 0.5
     with_self = hasattr(p, "wsqkv")
-    # Same block size as the backward (see encoder note: PRNG alignment).
-    bn = _row_block(n, 2 * _dec_bytes_per_row(lq, lk, hid, pf,
-                                              trg.dtype.itemsize, with_self))
+    # Forward-sized blocks; the backward may use a different (smaller) grid —
+    # the hash dropout masks are global-index pure, so they still agree
+    # (see encoder note).
+    bn = _row_block(n, _dec_bytes_per_row(lq, lk, hid, pf,
+                                          trg.dtype.itemsize, with_self))
     weights = list(p)
     return pl.pallas_call(
         functools.partial(kernel, n_heads=n_heads, scale=scale, rate=rate,

@@ -163,6 +163,13 @@ class MelFrontend:
         mel = jnp.dot(power, self._fb, precision=hi)   # [n_frames, n_mels]
         return jnp.log(mel + self.cfg.log_offset)
 
+    def features_from_frames(self, frames) -> jnp.ndarray:
+        """Explicit-framing entry: ``[n, n_fft]`` sample frames -> ``[n,
+        n_mels]`` log-mel rows. Each output row depends only on its input
+        frame; the streaming transcriber uses this to produce features
+        incrementally with the exact offline numerics."""
+        return self._jit_frames(jnp.asarray(frames, jnp.float32))
+
     def __call__(self, wav) -> jnp.ndarray:
         wav = jnp.asarray(wav, dtype=jnp.float32)
         use_pallas = self.use_pallas

@@ -250,7 +250,10 @@ def test_dropout_grad_finite_difference():
     g = jax.grad(f)(x)
     rng = np.random.default_rng(11)
     v = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
-    eps = 1e-3
+    # eps small enough that softmax curvature along v is negligible (at
+    # eps=1e-3 the O(eps^2) term reaches ~10% of the derivative for some
+    # mask draws; 3e-4 converges while staying above f32 noise)
+    eps = 3e-4
     fd = (float(f(x + eps * v)) - float(f(x - eps * v))) / (2 * eps)
     directional = float(jnp.vdot(g, v))
     assert abs(fd - directional) / max(1.0, abs(fd)) < 2e-2, (fd, directional)

@@ -1,0 +1,137 @@
+"""Streaming transcription: incremental emission must match the offline path.
+
+The offline reference semantics live in ``Transcriber.transcript``
+(``amt.py:66-118`` geometry); the streaming path re-derives features,
+windows, and posteriors incrementally, so these tests pin the invariant
+that makes it correct: feed-in-any-chunking + flush == offline whole-file.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from nylon_amt_tpu.config import Config, ModelConfig
+from nylon_amt_tpu.infer.stream import StreamingTranscriber
+from nylon_amt_tpu.infer.transcribe import Transcriber
+from nylon_amt_tpu.models.hft import init_params
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = Config(model=ModelConfig(hid_dim=16, pf_dim=32, enc_layer=1,
+                                   dec_layer=1, enc_head=2, dec_head=2,
+                                   dropout=0.0))
+    params = init_params(cfg, jax.random.key(0))
+    return cfg, params
+
+
+def _audio(rng, seconds, sr):
+    t = np.arange(int(seconds * sr)) / sr
+    wav = 0.2 * np.sin(2 * np.pi * 440.0 * t) * (np.sin(2 * np.pi * 0.7 * t)
+                                                 > 0)
+    return (wav + 0.01 * rng.standard_normal(t.size)).astype(np.float32)
+
+
+@pytest.mark.parametrize("chunk", [160, 1000, 4096, 100_000])
+def test_streaming_matches_offline(tiny, rng, chunk):
+    cfg, params = tiny
+    wav = _audio(rng, 5.3, cfg.feature.sr)   # ~332 frames = 3 blocks
+
+    tr = Transcriber(cfg, params=params, batch_windows=2)
+    feature = np.asarray(tr.frontend(wav))
+    offline = tr.transcript(feature)
+
+    st = StreamingTranscriber(cfg, params=params, transcriber=tr)
+    n_blocks_live = 0
+    for i in range(0, wav.shape[0], chunk):
+        n_blocks_live += len(st.feed(wav[i : i + chunk]))
+    st.flush()
+    post = st.posteriors()
+
+    assert st.frames_emitted == offline["onset_A"].shape[0]
+    assert n_blocks_live >= 1  # some blocks were emitted before flush
+    for key, ref in offline.items():
+        np.testing.assert_allclose(post[key], ref, atol=2e-5, err_msg=key)
+
+    # note decode wiring: st.notes() decodes the streamed B-head posteriors
+    # (posterior parity above is the numerical guarantee; random-init
+    # posteriors sit near the 0.5 threshold, so decoding the *offline*
+    # arrays could flip on last-ulp diffs)
+    ref_notes = tr.mpe2note(post["onset_B"], post["offset_B"],
+                            post["mpe_B"], post["velocity_B"])
+    assert st.notes() == ref_notes
+
+
+def test_streaming_features_match_frontend(tiny, rng):
+    """Incrementally finalized mel frames equal the whole-file frontend."""
+    cfg, params = tiny
+    wav = _audio(rng, 2.0, cfg.feature.sr)
+    tr = Transcriber(cfg, params=params)
+    st = StreamingTranscriber(cfg, params=params, transcriber=tr)
+    for i in range(0, wav.shape[0], 3333):
+        st.feed(wav[i : i + 3333])
+    # before flush: every finalized frame matches the offline frontend
+    full = np.asarray(tr.frontend(wav))
+    n = st._next_frame
+    assert 0 < n < full.shape[0] + 1
+    got = st._feat  # no blocks emitted yet at 2 s -> ring buffer intact
+    # Tolerance: the streaming path runs the mel matmul over different frame
+    # batch sizes than the whole-file call, so XLA may tile the f32 reduction
+    # differently — log-mel rows agree to reduction-order ulps, not bits.
+    np.testing.assert_allclose(got, full[st._feat_start : n], atol=3e-4)
+    st.flush()
+    assert st._next_frame == full.shape[0]
+
+
+def test_stable_notes_never_retract(tiny, rng):
+    """Notes reported stable must appear unchanged in the final decode."""
+    cfg, params = tiny
+    wav = _audio(rng, 6.0, cfg.feature.sr)
+    st = StreamingTranscriber(cfg, params=params)
+    stable_seen: list[dict] = []
+    for i in range(0, wav.shape[0], 8000):
+        if st.feed(wav[i : i + 8000]):
+            for n in st.stable_notes():
+                if n not in stable_seen:
+                    stable_seen.append(n)
+    st.flush()
+    final = st.notes()
+    for n in stable_seen:
+        assert n in final
+
+
+def test_feed_after_flush_raises(tiny):
+    cfg, params = tiny
+    st = StreamingTranscriber(cfg, params=params)
+    st.flush()
+    with pytest.raises(RuntimeError):
+        st.feed(np.zeros(100, np.float32))
+
+
+def test_serve_cli_jsonl(tmp_path, rng):
+    """`cli serve --wav` emits JSONL note events + a final MIDI."""
+    import json
+
+    from nylon_amt_tpu.cli import main
+    from nylon_amt_tpu.train.checkpoint import CheckpointManager
+    from nylon_amt_tpu.train.step import create_train_state
+    from nylon_amt_tpu.utils.wavio import save_wav
+
+    cfg = Config(model=ModelConfig(hid_dim=16, pf_dim=32, enc_layer=1,
+                                   dec_layer=1, enc_head=2, dec_head=2,
+                                   dropout=0.0))
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(cfg.to_dict(), f)
+    state = create_train_state(cfg, jax.random.key(0))
+    CheckpointManager(str(tmp_path / "ckpt")).save(0, 0, state, {},
+                                                   is_best=True)
+    wav = _audio(rng, 4.0, cfg.feature.sr)
+    save_wav(str(tmp_path / "in.wav"), wav[:, None], cfg.feature.sr)
+
+    rc = main(["serve", "--config", str(tmp_path / "config.json"),
+               "--checkpoint", str(tmp_path / "ckpt"),
+               "--wav", str(tmp_path / "in.wav"),
+               "--midi", str(tmp_path / "out.mid")])
+    assert rc == 0
+    assert (tmp_path / "out.mid").exists()

@@ -103,6 +103,38 @@ def test_transcript_stride_parity(rng):
             np.testing.assert_allclose(got, ref_arr, atol=3e-5, err_msg=name)
 
 
+def test_transcript_data_parallel_matches_single(rng):
+    """A data-mesh Transcriber (shard_map over the batch axis) must produce
+    the same posteriors as the single-device path — including when the
+    window count does not divide the (rounded-up) batch size."""
+    import jax
+
+    from nylon_amt_tpu.models.hft import init_params
+    from nylon_amt_tpu.parallel.mesh import make_mesh
+
+    cfg = _tiny_cfg()
+    params = init_params(cfg, jax.random.key(0))
+    feature = (rng.standard_normal((300, 256)) * 2 - 8).astype(np.float32)
+
+    single = Transcriber(cfg, params=params, batch_windows=2)
+    mesh = make_mesh(n_data=4, n_model=1)
+    dp = Transcriber(cfg, params=params, batch_windows=3, mesh=mesh)
+    assert dp.batch_windows == 4  # rounded up to a multiple of n_data
+
+    for name in ("transcript", "transcript_stride"):
+        kwargs = {"n_offset": 32} if name == "transcript_stride" else {}
+        ref = getattr(single, name)(feature, **kwargs)
+        got = getattr(dp, name)(feature, **kwargs)
+        assert set(got) == set(ref)
+        for key, arr in ref.items():
+            np.testing.assert_allclose(got[key], arr, atol=1e-5,
+                                       err_msg=f"{name}/{key}")
+
+    # TP meshes are rejected (data-parallel only)
+    with pytest.raises(ValueError):
+        Transcriber(cfg, params=params, mesh=make_mesh(n_data=2, n_model=2))
+
+
 def test_transcript_shapes_no_reference(rng):
     import jax
 
