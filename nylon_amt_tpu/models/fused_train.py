@@ -3,7 +3,8 @@
 The training twin of :mod:`nylon_amt_tpu.infer.engine`: the same flax param
 pytree runs through the whole-layer Pallas kernels of
 :mod:`nylon_amt_tpu.ops.layer_fused_train`, each with an analytic in-kernel
-backward (custom VJP) and in-kernel dropout on the Pallas PRNG. The XLA
+backward (custom VJP) and in-kernel hash-mask dropout (pure functions of
+the global element index — see ``layer_fused_train._keep_mask``). The XLA
 autodiff graph — which re-materializes every intermediate in HBM and pays
 threefry mask generation for each dropout site — is replaced by one fwd and
 one bwd kernel per layer.
@@ -14,9 +15,9 @@ so :func:`nylon_amt_tpu.train.step.loss_fn` can consume it unchanged.
 
 Differences from the flax path (documented, training-equivalent):
 
-* dropout realizations come from the Pallas per-core PRNG (per layer/site
-  streams seeded from the ``dropout`` rng), not ``nn.Dropout``'s threefry —
-  a different but equally random stream;
+* dropout realizations come from per-layer/site index-hash streams seeded
+  from the ``dropout`` rng, not ``nn.Dropout``'s threefry — a different but
+  equally random stream;
 * gradients at each custom-VJP boundary are f32 (weight grads accumulate
   in f32 inside the kernels).
 
@@ -118,7 +119,7 @@ def train_forward(params, spec, config: Config, dropout_rng,
                   ) -> dict:
     """Training forward: logits dict matching ``HFT.apply`` (no attention
     map). ``dropout_rng`` drives both the XLA embedding dropouts and the
-    per-layer in-kernel PRNG seeds."""
+    per-layer in-kernel hash-stream seeds."""
     cfg = config
     m = cfg.model
     dt = _dt(cfg)

@@ -1,5 +1,7 @@
 """Corpus assembly + window sampling tests (vs reference make_dataset geometry)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -111,3 +113,46 @@ def test_normalization(rng):
     arrays = assemble_split(cfg, [feat], [lab])
     np.testing.assert_allclose(arrays.feature[32], (-1.0 + 5.0) / 8.0)
     assert arrays.feature[0, 0] == 0.0  # normalized corpora pad with 0
+
+
+def test_make_list_maps_split_rule(tmp_path):
+    """MAPS MUS split (reference ``make_list_maps.py:48-74``): real-piano
+    recordings (ENSTDkAm/ENSTDkCl) -> test; synthesized renditions of tunes
+    that appear in test -> valid; remaining tunes -> train."""
+    from nylon_amt_tpu.data.lists import make_list_maps
+
+    pieces = [
+        ("ENSTDkAm", "chpn_op7_1"),     # real piano -> test
+        ("ENSTDkCl", "bk_xmas1"),       # real piano -> test
+        ("AkPnBcht", "chpn_op7_1"),     # tune also in test -> valid
+        ("SptkBGCl", "bk_xmas1"),       # tune also in test -> valid
+        ("AkPnBcht", "mz_311_1"),       # unseen tune -> train
+        ("StbgTGd2", "grieg_butterfly"),  # unseen tune -> train
+    ]
+    for piano, tune in pieces:
+        d = tmp_path / piano / "MUS"
+        d.mkdir(parents=True, exist_ok=True)
+        stem = f"MAPS_MUS-{tune}_{piano}"
+        (d / f"{stem}.wav").write_bytes(b"")
+        (d / f"{stem}.mid").write_bytes(b"")
+    # non-MUS content must be ignored entirely
+    other = tmp_path / "AkPnBcht" / "ISOL"
+    other.mkdir(parents=True)
+    (other / "MAPS_ISOL_NO_P_S0_M60_AkPnBcht.wav").write_bytes(b"")
+
+    cl = make_list_maps(str(tmp_path))
+    by_split = {s: sorted(os.path.basename(a)[:-4]
+                          for _, a, _ in cl.entries[s])
+                for s in ("train", "valid", "test")}
+    assert by_split["test"] == ["MAPS_MUS-bk_xmas1_ENSTDkCl",
+                                "MAPS_MUS-chpn_op7_1_ENSTDkAm"]
+    assert by_split["valid"] == ["MAPS_MUS-bk_xmas1_SptkBGCl",
+                                 "MAPS_MUS-chpn_op7_1_AkPnBcht"]
+    assert by_split["train"] == ["MAPS_MUS-grieg_butterfly_StbgTGd2",
+                                 "MAPS_MUS-mz_311_1_AkPnBcht"]
+    # canonical names are zero-padded and sequential within the split
+    assert cl.names("test") == ["test_000", "test_001"]
+    # every audio path has a .mid sibling recorded
+    for s in ("train", "valid", "test"):
+        for _, a, m in cl.entries[s]:
+            assert m == a[:-4] + ".mid"
