@@ -13,10 +13,12 @@ makes it testable:
 * **Features.** STFT frame ``i`` covers samples ``[i*hop - n_fft/2,
   i*hop + n_fft/2)`` (center padding, ``amt.py:55-63`` semantics). A frame
   is *final* once ``i*hop + n_fft/2`` samples have arrived; finalized
-  frames are built from the sample ring buffer and pushed through
-  ``MelFrontend.features_from_frames`` — the same per-row computation as
-  offline (equal up to f32 matmul reduction-order ulps, since the frame
-  batch sizes differ).
+  frames are cut from the sample ring buffer on the host and batched
+  through ``MelFrontend.features_from_frames`` in ONE device call per
+  emitted block (each device interaction costs a tunnel round trip, so
+  per-feed featurization would bound the serving rate) — the same per-row
+  computation as offline (equal up to f32 matmul reduction-order ulps,
+  since the frame batch sizes differ).
 * **Posteriors.** The model consumes 192-frame windows = a 128-frame block
   plus ``margin_b`` past and ``margin_f`` future context
   (``amt.py:70-96``). Block ``k`` is final once feature frame
@@ -90,6 +92,11 @@ class StreamingTranscriber:
         # feature ring buffer: rows [feat_start, feat_start + len(feat))
         self._feat = np.zeros((0, self._n_bins), np.float32)
         self._feat_start = 0
+        # finalized sample frames awaiting featurization: the device call is
+        # deferred until a posterior block is actually emittable, so a feed
+        # that finalizes frames but completes no block costs zero device
+        # round trips (each device interaction pays a full tunnel RTT)
+        self._pending = np.zeros((0, self._n_fft), np.float32)
         self._next_block = 0           # next posterior block to emit
         self._posteriors: list[dict[str, np.ndarray]] = []
         self._flushed = False
@@ -146,8 +153,7 @@ class StreamingTranscriber:
             seg = np.pad(seg, (seg_lo - lo, hi - seg_hi))
         starts = (np.arange(f0, f1) * self._hop - self._pad) - lo
         frames = seg[starts[:, None] + np.arange(self._n_fft)[None, :]]
-        feats = np.asarray(self.tr.frontend.features_from_frames(frames))
-        self._feat = np.concatenate([self._feat, feats])
+        self._pending = np.concatenate([self._pending, frames])
         self._next_frame = f1
         if not right_pad:
             # drop samples no longer needed by any future frame
@@ -158,6 +164,25 @@ class StreamingTranscriber:
 
     # -- windows --------------------------------------------------------------
 
+    def _featurize_pending(self) -> None:
+        """One device call for every finalized-but-unfeaturized frame.
+
+        The batch is zero-padded up to a multiple of ``num_frame`` rows so
+        the jitted mel computation sees a handful of static shapes instead
+        of retracing (and re-compiling, minutes through a remote-compile
+        service) for every distinct chunk arithmetic."""
+        n = self._pending.shape[0]
+        if not n:
+            return
+        bucket = -(-n // self._n_frame) * self._n_frame
+        frames = self._pending
+        if bucket != n:
+            frames = np.concatenate(
+                [frames, np.zeros((bucket - n, self._n_fft), np.float32)])
+        feats = np.asarray(self.tr.frontend.features_from_frames(frames))[:n]
+        self._feat = np.concatenate([self._feat, feats])
+        self._pending = np.zeros((0, self._n_fft), np.float32)
+
     def _emit_ready_blocks(self, final: bool) -> list[dict[str, np.ndarray]]:
         """Run every block whose future margin is available (all remaining
         blocks when ``final``, with ``min_value`` tail padding)."""
@@ -166,15 +191,15 @@ class StreamingTranscriber:
             n_blocks = -(-self._next_frame // self._n_frame)
             blocks = list(range(self._next_block, n_blocks))
         else:
-            n_feat_end = self._feat_start + self._feat.shape[0]
             blocks = []
             k = self._next_block
-            while n_feat_end >= (k + 1) * self._n_frame + self._margin_f:
+            while self._next_frame >= (k + 1) * self._n_frame + self._margin_f:
                 blocks.append(k)
                 k += 1
         if not blocks:
             return []
 
+        self._featurize_pending()
         windows = np.stack([self._window(k) for k in blocks])
         post = self.tr._run_all(windows.transpose(0, 2, 1))
         out = []

@@ -137,7 +137,11 @@ class Transcriber:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], bw - n, axis=0)])
             out = self._jit_batch(self.params, jnp.asarray(chunk))
-            chunks.append({k: np.asarray(v)[:n] for k, v in out.items()})
+            # ONE batched D2H round trip for the whole dict: per-key
+            # np.asarray issues 8 sequential fetches, which costs 8 tunnel
+            # RTTs (~244 ms vs ~35 ms measured for device_get).
+            out = jax.device_get(out)
+            chunks.append({k: v[:n] for k, v in out.items()})
         return {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
 
     def transcript(self, feature: np.ndarray, mode: str = "combination"

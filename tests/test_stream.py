@@ -75,6 +75,7 @@ def test_streaming_features_match_frontend(tiny, rng):
     full = np.asarray(tr.frontend(wav))
     n = st._next_frame
     assert 0 < n < full.shape[0] + 1
+    st._featurize_pending()  # featurization is deferred until a block emits
     got = st._feat  # no blocks emitted yet at 2 s -> ring buffer intact
     # Tolerance: the streaming path runs the mel matmul over different frame
     # batch sizes than the whole-file call, so XLA may tile the f32 reduction
@@ -135,3 +136,43 @@ def test_serve_cli_jsonl(tmp_path, rng):
                "--midi", str(tmp_path / "out.mid")])
     assert rc == 0
     assert (tmp_path / "out.mid").exists()
+
+
+@pytest.mark.parametrize("seconds", [0.0, 0.05, 2.048])
+def test_streaming_edge_lengths(tiny, rng, seconds):
+    """Degenerate stream lengths: empty, shorter than one STFT frame, and
+    exactly one block of hops — flush must still equal the offline path."""
+    cfg, params = tiny
+    sr = cfg.feature.sr
+    n = int(seconds * sr)
+    wav = (0.1 * rng.standard_normal(max(n, 0))).astype(np.float32)
+
+    tr = Transcriber(cfg, params=params, batch_windows=2)
+    st = StreamingTranscriber(cfg, params=params, transcriber=tr)
+    if n:
+        st.feed(wav)
+    st.feed(np.zeros(0, np.float32))     # empty feeds are legal no-ops
+    st.flush()
+    post = st.posteriors()
+
+    # even an empty stream mirrors offline: 1 zero-pad STFT frame -> 1 block
+    offline = tr.transcript(np.asarray(tr.frontend(wav)))
+    for key, ref in offline.items():
+        np.testing.assert_allclose(post[key], ref, atol=2e-5,
+                                   err_msg=f"{seconds}s/{key}")
+
+
+def test_streaming_single_sample_feeds(tiny, rng):
+    """Pathological chunking: one sample at a time over a short stream."""
+    cfg, params = tiny
+    sr = cfg.feature.sr
+    wav = (0.1 * rng.standard_normal(int(0.2 * sr))).astype(np.float32)
+    tr = Transcriber(cfg, params=params)
+    st = StreamingTranscriber(cfg, params=params, transcriber=tr)
+    for s in wav:
+        st.feed(np.asarray([s]))
+    st.flush()
+    offline = tr.transcript(np.asarray(tr.frontend(wav)))
+    post = st.posteriors()
+    for key, ref in offline.items():
+        np.testing.assert_allclose(post[key], ref, atol=2e-5, err_msg=key)
