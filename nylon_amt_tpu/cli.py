@@ -250,22 +250,22 @@ def cmd_serve(args) -> int:
                               batch_windows=args.batch_windows)
     sr = config.feature.sr
     chunk = max(1, int(sr * args.chunk_ms / 1000))
-    emitted: set[tuple] = set()
+    all_notes: list[dict] = []
 
     def emit(notes) -> None:
         for n in notes:
-            key = (n["onset"], n["pitch"])
-            if key not in emitted:
-                emitted.add(key)
-                print(json.dumps(n), flush=True)
+            all_notes.append(n)
+            print(json.dumps(n), flush=True)
 
+    # pop_stable_notes decodes a bounded tail and prunes consumed
+    # posteriors, so the service runs in O(1) memory on endless streams
     if args.wav:
         from nylon_amt_tpu.utils.wavio import load_mono
 
         wav = load_mono(args.wav, sr)
         for i in range(0, wav.shape[0], chunk):
             if st.feed(wav[i : i + chunk]):
-                emit(st.stable_notes())
+                emit(st.pop_stable_notes())
     else:
         while True:
             data = sys.stdin.buffer.read(chunk * 2)
@@ -273,15 +273,16 @@ def cmd_serve(args) -> int:
                 break
             samples = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
             if st.feed(samples):
-                emit(st.stable_notes())
+                emit(st.pop_stable_notes())
     st.flush()
-    notes = st.notes()
-    emit(notes)
+    emit(st.pop_stable_notes(final=True))
     if args.midi:
         from nylon_amt_tpu.midi.smf import write_notes
 
-        write_notes(args.midi, notes)
-    print(f"# {len(notes)} notes, latency {st.latency_seconds:.2f}s",
+        write_notes(args.midi, sorted(
+            sorted(all_notes, key=lambda x: x["pitch"]),
+            key=lambda x: x["onset"]))
+    print(f"# {len(all_notes)} notes, latency {st.latency_seconds:.2f}s",
           file=sys.stderr)
     return 0
 

@@ -100,6 +100,10 @@ class StreamingTranscriber:
         self._next_block = 0           # next posterior block to emit
         self._posteriors: list[dict[str, np.ndarray]] = []
         self._flushed = False
+        # incremental-decode state (pop_stable_notes): global frame index of
+        # the first retained posterior block, and keys already returned
+        self._post_start = 0
+        self._popped: set[tuple] = set()
 
     # -- properties -----------------------------------------------------------
 
@@ -236,9 +240,11 @@ class StreamingTranscriber:
     # -- results --------------------------------------------------------------
 
     def posteriors(self) -> dict[str, np.ndarray]:
-        """All emitted blocks concatenated: ``[frames_emitted, num_note]``
-        per key — after ``flush()`` this equals ``transcript()`` of the
-        whole recording."""
+        """Retained emitted blocks concatenated: ``[n_frames, num_note]``
+        per key. Without :meth:`pop_stable_notes` pruning this is every
+        emitted frame, and after ``flush()`` equals ``transcript()`` of the
+        whole recording; with pruning it is the live tail starting at
+        global frame ``self._post_start``."""
         if not self._posteriors:
             fams = ("A", "B") if self.mode == "combination" else ("A",)
             n_note = self.config.midi.num_note
@@ -249,26 +255,93 @@ class StreamingTranscriber:
                 for key in keys}
 
     def notes(self, fam: str | None = None, **decode_kwargs) -> list[dict]:
-        """Decode the posteriors emitted so far into note events (reference
-        ``mpe2note`` rules). After ``flush()`` this equals the offline
-        decode of the full recording."""
+        """Decode the retained posteriors into note events (reference
+        ``mpe2note`` rules). After ``flush()`` (and without pruning) this
+        equals the offline decode of the full recording; with
+        :meth:`pop_stable_notes` pruning it covers only the live tail
+        (times are still absolute)."""
         post = self.posteriors()
         if fam is None:
             fam = "B" if "onset_B" in post else "A"
         if post[f"onset_{fam}"].shape[0] == 0:
             return []
-        return self.tr.mpe2note(
+        out = self.tr.mpe2note(
             post[f"onset_{fam}"], post[f"offset_{fam}"], post[f"mpe_{fam}"],
             post[f"velocity_{fam}"], **decode_kwargs)
+        if self._post_start:
+            shift = self._post_start / self.config.feature.frames_per_sec
+            out = [{**n, "onset": n["onset"] + shift,
+                    "offset": n["offset"] + shift} for n in out]
+        return out
 
     def stable_notes(self, guard_frames: int | None = None,
                      fam: str | None = None, **decode_kwargs) -> list[dict]:
         """Notes guaranteed not to change as more audio arrives: offset
         resolved more than ``guard_frames`` before the emitted head (default
-        one block + offset tolerance). Suitable for live emission."""
+        one block + offset tolerance). Suitable for live emission.
+
+        Re-decodes the full history each call (O(stream length)); for
+        unbounded streams use :meth:`pop_stable_notes`, which decodes only
+        a bounded tail and prunes posteriors it no longer needs."""
         if guard_frames is None:
             guard_frames = self._n_frame + 8
         fps = self.config.feature.frames_per_sec
         horizon = (self.frames_emitted - guard_frames) / fps
         return [n for n in self.notes(fam=fam, **decode_kwargs)
                 if n["offset"] < horizon]
+
+    # -- unbounded-stream serving ----------------------------------------------
+
+    def pop_stable_notes(self, guard_frames: int | None = None,
+                         fam: str | None = None, final: bool = False,
+                         prune: bool = True, **decode_kwargs) -> list[dict]:
+        """Incremental serving decode: return ONLY the notes that became
+        stable since the last call, then (by default) prune posterior blocks
+        no future note can depend on.
+
+        Per-call cost and retained memory are bounded by the decode tail —
+        ``guard`` margin plus the span of still-sounding notes — instead of
+        the whole stream, so a serving process can run indefinitely.
+        Notes' times equal the full-history decode up to one float add
+        (the tail decode computes ``t_local + post_start*hop_sec`` instead
+        of ``t_global`` directly; error ~1 ulp of the absolute time).
+        A still-sounding note pins its posteriors until it ends: stability
+        of an onset requires seeing its offset, so the retention is
+        inherent, not an implementation choice.
+
+        ``final=True`` (after :meth:`flush`) releases the guard and returns
+        every remaining note. Stick to ONE head family per transcriber when
+        using this API (keys are deduplicated per family).
+        """
+        if guard_frames is None:
+            guard_frames = self._n_frame + 8
+        fps = self.config.feature.frames_per_sec
+        horizon_f = self.frames_emitted - (0 if final else guard_frames)
+        horizon = horizon_f / fps
+
+        if fam is None:
+            fam = "B" if self.mode == "combination" else "A"
+        # notes() decodes the retained tail and returns absolute times
+        fresh, unstable_onsets = [], []
+        for n in self.notes(fam=fam, **decode_kwargs):
+            if n["offset"] < horizon or final:
+                key = (fam, n["pitch"], round(n["onset"] * 1e4))
+                if key not in self._popped:
+                    self._popped.add(key)
+                    fresh.append(n)
+            else:
+                unstable_onsets.append(n["onset"])
+
+        if prune and not final:
+            # keep everything any unstable note (or future peak near the
+            # head) can reach, plus a block of locality margin for the
+            # decoder's plateau scans / sub-frame interpolation
+            keep_f = horizon_f
+            if unstable_onsets:
+                keep_f = min(keep_f, int(min(unstable_onsets) * fps))
+            keep_f -= self._n_frame
+            while (self._posteriors
+                   and self._post_start + self._n_frame <= keep_f):
+                self._posteriors.pop(0)
+                self._post_start += self._n_frame
+        return fresh

@@ -176,3 +176,49 @@ def test_streaming_single_sample_feeds(tiny, rng):
     post = st.posteriors()
     for key, ref in offline.items():
         np.testing.assert_allclose(post[key], ref, atol=2e-5, err_msg=key)
+
+
+def test_pop_stable_notes_matches_offline(tiny, rng):
+    """Incremental decode with pruning: the union of per-feed pops plus the
+    final pop must equal the offline decode of the whole stream (times to
+    float-add rounding), with no duplicates and no retractions."""
+    cfg, params = tiny
+    wav = _audio(rng, 9.0, cfg.feature.sr)
+    tr = Transcriber(cfg, params=params, batch_windows=2)
+    st = StreamingTranscriber(cfg, params=params, transcriber=tr)
+
+    popped: list[dict] = []
+    for i in range(0, wav.shape[0], 8000):
+        if st.feed(wav[i : i + 8000]):
+            popped.extend(st.pop_stable_notes())
+    st.flush()
+    popped.extend(st.pop_stable_notes(final=True))
+
+    offline = tr.transcript(np.asarray(tr.frontend(wav)))
+    ref = tr.mpe2note(offline["onset_B"], offline["offset_B"],
+                      offline["mpe_B"], offline["velocity_B"])
+    got = sorted(sorted(popped, key=lambda x: x["pitch"]),
+                 key=lambda x: x["onset"])
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        assert g["pitch"] == r["pitch"] and g["velocity"] == r["velocity"]
+        assert abs(g["onset"] - r["onset"]) < 1e-9
+        assert abs(g["offset"] - r["offset"]) < 1e-9
+
+
+def test_pop_stable_notes_prunes_posteriors(tiny, rng):
+    """Pruning keeps the retained tail bounded on a long stream."""
+    cfg, params = tiny
+    sr = cfg.feature.sr
+    wav = _audio(rng, 25.0, cfg.feature.sr)   # ~12 blocks
+    st = StreamingTranscriber(cfg, params=params)
+    max_blocks = 0
+    for i in range(0, wav.shape[0], sr):
+        if st.feed(wav[i : i + sr]):
+            st.pop_stable_notes()
+            max_blocks = max(max_blocks, len(st._posteriors))
+    # guard (1 block + 8) + margin (1 block) + head partials: <= 4 blocks,
+    # unless a note sounds across the whole stream (the fixture's notes are
+    # ~0.7 s bursts)
+    assert max_blocks <= 4
+    assert st._post_start > 0
