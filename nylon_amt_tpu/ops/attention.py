@@ -22,8 +22,11 @@ of the ``[Lq, Lk]`` probabilities — the softmax is VPU-bound at D=64), and
 
 A custom VJP recomputes ``P`` in-kernel (cheap at these sizes) and produces
 ``dQ, dK, dV`` in one backward kernel, so training takes the same fused path.
-Dropout-on-probabilities (used by the reference during training) is not
-fused; callers fall back to the XLA path when attention dropout is active.
+Dropout-on-probabilities (used by the reference during training) is fused
+too (``fused_mha_dropout``): masks are pure hashes of the global element
+index (:func:`hash_keep_mask`), so the backward regenerates them exactly
+regardless of compiled layout or grid — the stateful Pallas PRNG cannot
+guarantee that across two kernel binaries.
 """
 
 from __future__ import annotations
@@ -49,14 +52,36 @@ def _pick_block_rows(n: int, lq: int, lk: int, hid: int,
     return bn
 
 
-def _dropout_mask(shape, rate):
-    """Keep-mask scaled by 1/(1-rate), from the per-core PRNG (seeded by the
-    caller). Matches inverted-dropout semantics on the attention weights
-    (the reference's ``dropout(attention)`` — ``model_spec2midi.py:348``)."""
-    bits = pltpu.prng_random_bits(shape)  # uint32
-    # P(bits < threshold) = rate
+def hash_keep_mask(seed, tag, row0, shape, rate):
+    """Layout-independent dropout keep-mask (scaled by 1/(1-rate)).
+
+    ``pltpu.prng_random_bits`` output depends on the compiled vector layout,
+    which can differ between the forward and backward kernel binaries even
+    for identical seeds and shapes — regenerated masks then silently
+    disagree and gradients are wrong. Instead the mask is a pure function
+    of the GLOBAL element index: a murmur3-style 32-bit hash of
+    ``(global_row, d1, d2)`` mixed with the caller's seed and a per-site
+    tag. Identical in any kernel, any grid, any layout (and available in
+    interpret mode on CPU); ~8 VPU ops per element.
+
+    Matches inverted-dropout semantics on the attention weights (the
+    reference's ``dropout(attention)`` — ``model_spec2midi.py:348``).
+    """
+    _, d1, d2 = shape
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
+    c1 = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    c2 = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    lin = ((r * d1 + c1) * d2 + c2).astype(jnp.uint32)
+    x = lin ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)) \
+        ^ jnp.uint32((tag * 0x85EBCA6B) & 0xFFFFFFFF)
+    x = x * jnp.uint32(0xCC9E2D51)
+    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(15))
+    x = x * jnp.uint32(0x1B873593)
+    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(13))
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(16))
     threshold = jnp.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
-    keep = (pltpu.bitcast(bits, jnp.uint32) >= threshold).astype(jnp.float32)
+    keep = (x >= threshold).astype(jnp.float32)
     return keep * (1.0 / (1.0 - rate))
 
 
@@ -88,12 +113,14 @@ def _fwd_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale,
                         n_heads, rate):
     """Forward with dropout applied to the normalized attention weights.
 
-    Normalization (l) is computed BEFORE dropout, as torch does; the same
-    per-(program, head) PRNG stream is regenerated in the backward kernel.
+    Normalization (l) is computed BEFORE dropout, as torch does; the
+    backward kernel regenerates the identical masks by construction (pure
+    global-index hashes — see :func:`hash_keep_mask`).
     """
-    pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
     head_dim = q_ref.shape[-1] // n_heads
     dt = q_ref.dtype
+    seed = seed_ref[0, 0]
+    row0 = pl.program_id(0) * q_ref.shape[0]
     for h in range(n_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         qh, kh, vh = q_ref[:, :, sl], k_ref[:, :, sl], v_ref[:, :, sl]
@@ -103,7 +130,7 @@ def _fwd_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale,
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        pd = p * _dropout_mask(p.shape, rate)
+        pd = p * hash_keep_mask(seed, h, row0, p.shape, rate)
         o = jax.lax.dot_general(pd.astype(dt), vh, (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         o_ref[:, :, sl] = (o / l).astype(o_ref.dtype)
@@ -111,8 +138,9 @@ def _fwd_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale,
 
 def _bwd_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref,
                         dk_ref, dv_ref, *, scale, n_heads, rate):
-    pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
     head_dim = q_ref.shape[-1] // n_heads
+    seed = seed_ref[0, 0]
+    row0 = pl.program_id(0) * q_ref.shape[0]
     for h in range(n_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         q, k, v = q_ref[:, :, sl], k_ref[:, :, sl], v_ref[:, :, sl]
@@ -120,7 +148,7 @@ def _bwd_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref,
         dt = q.dtype
         _, l, p = _head_attention(q, k, v, scale)
         a = p / l                                   # normalized weights
-        d = _dropout_mask(a.shape, rate)            # same stream as forward
+        d = hash_keep_mask(seed, h, row0, a.shape, rate)  # same as forward
         ad = a * d
         dv = jax.lax.dot_general(ad.astype(dt), do, (((1,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)

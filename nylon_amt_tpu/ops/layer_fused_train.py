@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nylon_amt_tpu.ops.attention import hash_keep_mask
 from nylon_amt_tpu.ops.layer_fused import (
     _LN_EPS,
     EncoderLayerParams,
@@ -100,34 +101,9 @@ class DecLayerParams(NamedTuple):
     b2: jax.Array
 
 
-def _keep_mask(seed, tag, row0, shape, rate):
-    """Layout-independent dropout keep-mask (scaled by 1/(1-rate)).
-
-    ``pltpu.prng_random_bits`` output depends on the compiled vector layout,
-    which can differ between the forward and backward kernel binaries even
-    for identical seeds and shapes — regenerated masks then silently
-    disagree and gradients are wrong. Instead the mask is a pure function
-    of the GLOBAL element index: a murmur3-style 32-bit hash of
-    ``(global_row, d1, d2)`` mixed with the layer seed and a per-site/head
-    tag. Identical in any kernel, any grid, any layout; ~8 VPU ops per
-    element (vs ~40 rounds for threefry).
-    """
-    _, d1, d2 = shape
-    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
-    c1 = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    c2 = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-    lin = ((r * d1 + c1) * d2 + c2).astype(jnp.uint32)
-    x = lin ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)) \
-        ^ jnp.uint32((tag * 0x85EBCA6B) & 0xFFFFFFFF)
-    x = x * jnp.uint32(0xCC9E2D51)
-    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(15))
-    x = x * jnp.uint32(0x1B873593)
-    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(13))
-    x = x * jnp.uint32(0xC2B2AE35)
-    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(16))
-    threshold = jnp.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
-    keep = (x >= threshold).astype(jnp.float32)
-    return keep * (1.0 / (1.0 - rate))
+# layout-independent global-index hash mask, shared with the standalone
+# fused-attention kernels (see attention.hash_keep_mask for the rationale)
+_keep_mask = hash_keep_mask
 
 
 def _ln_fwd(x, g, b):

@@ -8,11 +8,9 @@ import jax.numpy as jnp
 
 from nylon_amt_tpu.ops.attention import fused_mha, fused_mha_dropout
 
-# The Pallas interpreter has no PRNG; the dropout kernel itself only runs on
-# real TPUs (scripts/validate_dropout_tpu.py exercises it there). CPU tests
-# cover the model-level XLA fallback.
-requires_tpu = pytest.mark.skipif(jax.default_backend() != "tpu",
-                                  reason="pallas PRNG needs a real TPU")
+# Dropout masks are pure global-index hashes (attention.hash_keep_mask), so
+# the kernels run in interpret mode on CPU too; scripts/validate_dropout_tpu.py
+# additionally exercises the compiled binaries on real hardware.
 
 
 def _inputs(rng, n=4, lq=64, lk=64, hid=64):
@@ -22,26 +20,24 @@ def _inputs(rng, n=4, lq=64, lk=64, hid=64):
     return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
 
 
-@requires_tpu
 def test_dropout_expectation(rng):
     """E[dropout(attn)] == attn: outputs agree on average over seeds."""
     q, k, v = _inputs(rng)
     scale = 0.125
     base = np.asarray(fused_mha(q, k, v, 2, scale, True))
     acc = np.zeros_like(base)
-    n_seeds = 24
+    n_seeds = 64
     for s in range(n_seeds):
         out = fused_mha_dropout(q, k, v, 2, scale, 0.5, True,
                                 jnp.int32(1000 + s))
         acc += np.asarray(out)
     acc /= n_seeds
-    # inverted dropout is unbiased; with 24 seeds over 64-key rows the mean
-    # should approach the dropout-free output
+    # inverted dropout is unbiased; the residual shrinks ~1/sqrt(n_seeds)
+    # (24 seeds measured 0.20, 64 should be ~0.12)
     err = np.abs(acc - base).mean() / (np.abs(base).mean() + 1e-9)
-    assert err < 0.2, err
+    assert err < 0.16, err
 
 
-@requires_tpu
 def test_dropout_deterministic_per_seed(rng):
     q, k, v = _inputs(rng)
     a = np.asarray(fused_mha_dropout(q, k, v, 2, 0.125, 0.3, True,
@@ -54,7 +50,6 @@ def test_dropout_deterministic_per_seed(rng):
     assert not np.allclose(a, c)
 
 
-@requires_tpu
 def test_dropout_gradients_match_reference_mask(rng):
     """grad through the kernel == grad of an explicit masked softmax using
     the SAME realized mask (recovered from the forward output)."""
