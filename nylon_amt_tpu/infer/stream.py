@@ -66,12 +66,16 @@ class StreamingTranscriber:
 
     def __init__(self, config: Config, params: Any = None,
                  transcriber: Transcriber | None = None, mode: str =
-                 "combination", **tr_kwargs):
+                 "combination", defer: bool = False, **tr_kwargs):
         if config.feature.pad_mode != "constant":
             raise ValueError("streaming requires pad_mode='constant' "
                              f"(got {config.feature.pad_mode!r})")
         self.config = config
         self.mode = mode
+        # defer=True: feed()/flush() never run the model — an external
+        # scheduler (infer.serve.StreamServer) pulls ready_windows() and
+        # pushes accept_posteriors(), batching many sessions per forward
+        self._defer = defer
         self.tr = transcriber or Transcriber(config, params=params,
                                              **tr_kwargs)
         cfg = config
@@ -92,11 +96,13 @@ class StreamingTranscriber:
         # feature ring buffer: rows [feat_start, feat_start + len(feat))
         self._feat = np.zeros((0, self._n_bins), np.float32)
         self._feat_start = 0
-        # finalized sample frames awaiting featurization: the device call is
-        # deferred until a posterior block is actually emittable, so a feed
-        # that finalizes frames but completes no block costs zero device
-        # round trips (each device interaction pays a full tunnel RTT)
-        self._pending = np.zeros((0, self._n_fft), np.float32)
+        # frames [_featurized_until, _next_frame) are finalized but not yet
+        # featurized: the device call is deferred until a posterior block is
+        # actually emittable (a feed that completes no block costs zero
+        # device round trips), and the upload is the RAW SAMPLE segment —
+        # framing happens on device, so the transfer is ~8x smaller than
+        # explicit [n, n_fft] frames at the reference hop
+        self._featurized_until = 0
         self._next_block = 0           # next posterior block to emit
         self._posteriors: list[dict[str, np.ndarray]] = []
         self._flushed = False
@@ -130,6 +136,8 @@ class StreamingTranscriber:
         self._n_samples += samples.shape[0]
         self._advance_frames(last_frame=(self._n_samples - self._pad)
                              // self._hop)
+        if self._defer:
+            return []
         return self._emit_ready_blocks(final=False)
 
     def flush(self) -> list[dict[str, np.ndarray]]:
@@ -141,71 +149,105 @@ class StreamingTranscriber:
         # offline frame count: 1 + n_samples // hop  (mel.py num_frames)
         self._advance_frames(last_frame=self._n_samples // self._hop,
                              right_pad=True)
+        if self._defer:
+            return []
         return self._emit_ready_blocks(final=True)
 
     def _advance_frames(self, last_frame: int, right_pad: bool = False
                         ) -> None:
-        """Finalize feature frames ``self._next_frame .. last_frame``."""
-        if last_frame < self._next_frame:
-            return
-        f0, f1 = self._next_frame, last_frame + 1
+        """Finalize feature frames up to ``last_frame`` (bookkeeping only;
+        the samples stay in the ring buffer until featurization)."""
+        if last_frame >= self._next_frame:
+            self._next_frame = last_frame + 1
+
+    # -- windows --------------------------------------------------------------
+
+    def _take_pending(self) -> tuple[np.ndarray, int]:
+        """Cut the raw-sample segment covering every finalized-but-
+        unfeaturized frame (stream edges zero-padded) and hand it to a
+        featurizer — this instance's own, or a StreamServer that batches
+        many sessions into ONE device call. Returns ``(segment, n_frames)``;
+        the mel rows come back via :meth:`_accept_features`."""
+        f0, f1 = self._featurized_until, self._next_frame
+        n = f1 - f0
+        if n <= 0:
+            return np.zeros(0, np.float32), 0
         lo = f0 * self._hop - self._pad                 # global sample range
         hi = (f1 - 1) * self._hop - self._pad + self._n_fft
         seg_lo, seg_hi = max(lo, 0), min(hi, self._n_samples)
         seg = self._buf[seg_lo - self._buf_start : seg_hi - self._buf_start]
         if lo < 0 or hi > self._n_samples:              # stream edges: zeros
             seg = np.pad(seg, (seg_lo - lo, hi - seg_hi))
-        starts = (np.arange(f0, f1) * self._hop - self._pad) - lo
-        frames = seg[starts[:, None] + np.arange(self._n_fft)[None, :]]
-        self._pending = np.concatenate([self._pending, frames])
-        self._next_frame = f1
-        if not right_pad:
-            # drop samples no longer needed by any future frame
-            keep_from = self._next_frame * self._hop - self._pad
-            if keep_from > self._buf_start:
-                self._buf = self._buf[keep_from - self._buf_start:]
-                self._buf_start = keep_from
+        self._featurized_until = f1
+        # drop samples no longer needed by any future frame
+        keep_from = f1 * self._hop - self._pad
+        if keep_from > self._buf_start:
+            self._buf = self._buf[max(keep_from - self._buf_start, 0):]
+            self._buf_start = max(keep_from, self._buf_start)
+        return seg.astype(np.float32, copy=False), n
 
-    # -- windows --------------------------------------------------------------
+    def bucket_segment(self, seg: np.ndarray, n: int
+                       ) -> tuple[np.ndarray, int]:
+        """Zero-pad a segment so its frame count is a multiple of
+        ``num_frame`` — the jitted mel computation then sees a handful of
+        static shapes instead of retracing (and re-compiling, minutes
+        through a remote-compile service) per distinct chunk arithmetic."""
+        k = -(-n // self._n_frame) * self._n_frame
+        target = (k - 1) * self._hop + self._n_fft
+        if seg.shape[0] < target:
+            seg = np.pad(seg, (0, target - seg.shape[0]))
+        return seg, k
+
+    def _accept_features(self, feats: np.ndarray) -> None:
+        if feats.shape[0]:
+            self._feat = np.concatenate([self._feat, feats])
 
     def _featurize_pending(self) -> None:
-        """One device call for every finalized-but-unfeaturized frame.
-
-        The batch is zero-padded up to a multiple of ``num_frame`` rows so
-        the jitted mel computation sees a handful of static shapes instead
-        of retracing (and re-compiling, minutes through a remote-compile
-        service) for every distinct chunk arithmetic."""
-        n = self._pending.shape[0]
+        """One device call for every finalized-but-unfeaturized frame."""
+        seg, n = self._take_pending()
         if not n:
             return
-        bucket = -(-n // self._n_frame) * self._n_frame
-        frames = self._pending
-        if bucket != n:
-            frames = np.concatenate(
-                [frames, np.zeros((bucket - n, self._n_fft), np.float32)])
-        feats = np.asarray(self.tr.frontend.features_from_frames(frames))[:n]
-        self._feat = np.concatenate([self._feat, feats])
-        self._pending = np.zeros((0, self._n_fft), np.float32)
+        seg, _ = self.bucket_segment(seg, n)
+        feats = np.asarray(
+            self.tr.frontend.features_from_sample_blocks(seg[None])[0])[:n]
+        self._accept_features(feats)
 
-    def _emit_ready_blocks(self, final: bool) -> list[dict[str, np.ndarray]]:
-        """Run every block whose future margin is available (all remaining
-        blocks when ``final``, with ``min_value`` tail padding)."""
+    def _ready_block_ids(self, final: bool) -> list[int]:
+        """Blocks whose future margin is available (all remaining when
+        ``final``)."""
         if final:
             # offline block count: ceil(T / num_frame) (amt.py:70-74)
             n_blocks = -(-self._next_frame // self._n_frame)
-            blocks = list(range(self._next_block, n_blocks))
-        else:
-            blocks = []
-            k = self._next_block
-            while self._next_frame >= (k + 1) * self._n_frame + self._margin_f:
-                blocks.append(k)
-                k += 1
-        if not blocks:
-            return []
+            return list(range(self._next_block, n_blocks))
+        blocks = []
+        k = self._next_block
+        while self._next_frame >= (k + 1) * self._n_frame + self._margin_f:
+            blocks.append(k)
+            k += 1
+        return blocks
 
+    def ready_windows(self, final: bool = False
+                      ) -> tuple[list[int], np.ndarray]:
+        """Emittable block ids + their model-input windows ``[n, n_bins,
+        window_frames]`` WITHOUT running the model — a multi-stream server
+        batches windows from many sessions into one forward and hands the
+        results back via :meth:`accept_posteriors`."""
+        blocks = self._ready_block_ids(final)
+        if not blocks:
+            return [], np.zeros(
+                (0, self._n_bins, self._n_frame + self._margin_b
+                 + self._margin_f), np.float32)
         self._featurize_pending()
         windows = np.stack([self._window(k) for k in blocks])
-        post = self.tr._run_all(windows.transpose(0, 2, 1))
+        return blocks, windows.transpose(0, 2, 1)
+
+    def accept_posteriors(self, blocks: list[int], post: dict
+                          ) -> list[dict[str, np.ndarray]]:
+        """Store the model outputs for ``blocks`` (rows of ``post`` in the
+        same order) and advance the emit pointer. Counterpart of
+        :meth:`ready_windows`."""
+        assert blocks == list(range(self._next_block,
+                                    self._next_block + len(blocks)))
         out = []
         fams = ("A", "B") if self.mode == "combination" and \
             "onset_B" in post else ("A",)
@@ -220,6 +262,13 @@ class StreamingTranscriber:
             self._feat = self._feat[keep_from - self._feat_start:]
             self._feat_start = keep_from
         return out
+
+    def _emit_ready_blocks(self, final: bool) -> list[dict[str, np.ndarray]]:
+        """Run every ready block through this session's own Transcriber."""
+        blocks, windows = self.ready_windows(final)
+        if not blocks:
+            return []
+        return self.accept_posteriors(blocks, self.tr._run_all(windows))
 
     def _window(self, k: int) -> np.ndarray:
         """Feature window for block ``k``: rows ``[128k - margin_b,

@@ -126,6 +126,7 @@ class MelFrontend:
         self._sin_w = jnp.asarray(sin_b * window[None, :])
         self._fb = jnp.asarray(fb)                           # [n_freqs, n_mels]
         self._jit_frames = jax.jit(self._compute_from_frames)
+        self._jit_segments = jax.jit(self._compute_from_sample_blocks)
 
     # -- framing ---------------------------------------------------------
 
@@ -169,6 +170,26 @@ class MelFrontend:
         frame; the streaming transcriber uses this to produce features
         incrementally with the exact offline numerics."""
         return self._jit_frames(jnp.asarray(frames, jnp.float32))
+
+    def _compute_from_sample_blocks(self, segs: jnp.ndarray) -> jnp.ndarray:
+        """segs [S, seg_len] raw samples -> [S, n_frames, n_mels]; framing
+        happens ON DEVICE (gather), so the host uploads samples instead of
+        hop/n_fft-times-inflated explicit frames."""
+        S, L = segs.shape
+        hop, n_fft = self.cfg.hop_sample, self.cfg.fft_bins
+        n = (L - n_fft) // hop + 1
+        idx = (np.arange(n)[:, None] * hop + np.arange(n_fft)[None, :])
+        frames = segs[:, idx]                          # [S, n, n_fft]
+        return self._compute_from_frames(
+            frames.reshape(S * n, n_fft)).reshape(S, n, -1)
+
+    def features_from_sample_blocks(self, segs) -> jnp.ndarray:
+        """Batched streaming entry: ``[S, seg_len]`` sample segments (frame
+        ``i`` of a segment covers samples ``[i*hop, i*hop + n_fft)``) ->
+        ``[S, n_frames, n_mels]``. The caller pre-pads stream edges; the
+        upload is raw samples (~hop/n_fft of the explicit-frames size, a
+        factor 8 at the reference geometry)."""
+        return self._jit_segments(jnp.asarray(segs, jnp.float32))
 
     def __call__(self, wav) -> jnp.ndarray:
         wav = jnp.asarray(wav, dtype=jnp.float32)

@@ -35,6 +35,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=120.0)
     ap.add_argument("--chunk-ms", type=float, default=100.0)
+    ap.add_argument("--streams", type=int, default=1,
+                    help=">1: concurrent sessions through StreamServer "
+                         "(one batched forward per pump)")
     args = ap.parse_args()
 
     import jax
@@ -56,6 +59,9 @@ def main() -> None:
            * (np.sin(2 * np.pi * 0.7 * t) > 0)
            + 0.01 * rng.standard_normal(t.size)).astype(np.float32)
     chunk = max(1, int(sr * args.chunk_ms / 1000))
+
+    if args.streams > 1:
+        return bench_multi(config, params, wav, chunk, args)
 
     # ONE Transcriber shared between warmup and the timed run: a serving
     # process keeps its jitted forward alive across sessions; per-session
@@ -99,6 +105,76 @@ def main() -> None:
         "algorithmic_latency_s": round(st.latency_seconds, 3),
         "notes": n_notes,
         "final_decode_s": round(decode_s, 2),
+    }))
+
+
+def bench_multi(config, params, wav, chunk, args) -> None:
+    """N concurrent sessions through StreamServer: aggregate audio-sec per
+    wall-sec, and per-pump wall time (one batched forward for all streams)."""
+    import time
+
+    import numpy as np
+
+    from nylon_amt_tpu.infer.serve import StreamServer
+    from nylon_amt_tpu.infer.transcribe import Transcriber
+
+    N = args.streams
+    tr = Transcriber(config, params=params, batch_windows=N)
+    # offset each stream's audio so content differs (defeats nothing on
+    # device — just keeps the workload honest)
+    wavs = [np.roll(wav, 1000 * i) for i in range(N)]
+
+    # warmup: compile the batch-N forward + the steady-state batched
+    # featurize shape (first block = 160 rows/session, later blocks = 128;
+    # the 128-shape only appears once block 2 is ready, i.e. 288 frames in)
+    srv = StreamServer(config, transcriber=tr)
+    sids = [srv.open() for _ in range(N)]
+    for i in range(0, int(6.5 * config.feature.sr), chunk):
+        for sid, w in zip(sids, wavs):
+            srv.feed(sid, w[i : i + chunk])
+        srv.pump()
+    for sid in sids:
+        srv.close(sid)
+    while srv.session_ids:
+        srv.pump()
+
+    # realistic decode load: random-init posteriors sit at ~0.5, so default
+    # thresholds decode absurd note counts (a params artifact, not a
+    # pipeline property) — raise them so the decode cost matches a trained
+    # model's sparse onsets
+    dk = dict(thred_onset=0.9, thred_offset=0.9, thred_mpe=0.9)
+
+    srv = StreamServer(config, transcriber=tr)
+    sids = [srv.open() for _ in range(N)]
+    pump_times = []
+    t0 = time.perf_counter()
+    for i in range(0, wav.shape[0], chunk):
+        for sid, w in zip(sids, wavs):
+            srv.feed(sid, w[i : i + chunk])
+        tb = time.perf_counter()
+        srv.pump(**dk)
+        dt = time.perf_counter() - tb
+        if dt > 5e-3:                       # pumps that actually ran blocks
+            pump_times.append(dt)
+    # wall covers the live streaming loop only: the end-of-stream drain is
+    # a one-off (its flush featurize shapes even compile fresh), not the
+    # serving steady state
+    wall = time.perf_counter() - t0
+    for sid in sids:
+        srv.close(sid)
+    while srv.session_ids:
+        srv.pump(**dk)
+
+    pt = np.sort(np.asarray(pump_times)) * 1e3
+    print(json.dumps({
+        "metric": "stream_rtf_aggregate",
+        "value": round(N * args.seconds / wall, 2),
+        "unit": f"audio_sec/wall_sec ({N} concurrent streams)",
+        "streams": N,
+        "chunk_ms": args.chunk_ms,
+        "pump_ms_p50": round(float(pt[len(pt) // 2]), 2),
+        "pump_ms_p95": round(float(pt[int(len(pt) * 0.95)]), 2),
+        "pumps_with_blocks": len(pump_times),
     }))
 
 
