@@ -124,41 +124,51 @@ def main() -> None:
     sec_per_window = (config.input.num_frame * config.feature.hop_sample
                       / config.feature.sr)  # 2.048 s
 
-    def posteriors(spec):
-        out = engine.forward(params, spec, config)
-        # Posterior outputs exactly as transcription consumes them.
-        return (jax.nn.sigmoid(out["onset_B"]), jax.nn.sigmoid(out["offset_B"]),
-                jax.nn.sigmoid(out["mpe_B"]),
-                jnp.argmax(out["velocity_B"], axis=-1).astype(jnp.int8),
-                jax.nn.sigmoid(out["onset_A"]), jax.nn.sigmoid(out["offset_A"]),
-                jax.nn.sigmoid(out["mpe_A"]),
-                jnp.argmax(out["velocity_A"], axis=-1).astype(jnp.int8))
+    def make_forward_n(precision):
+        def posteriors(spec):
+            out = engine.forward(params, spec, config, precision=precision)
+            # Posterior outputs exactly as transcription consumes them.
+            return (jax.nn.sigmoid(out["onset_B"]),
+                    jax.nn.sigmoid(out["offset_B"]),
+                    jax.nn.sigmoid(out["mpe_B"]),
+                    jnp.argmax(out["velocity_B"], axis=-1).astype(jnp.int8),
+                    jax.nn.sigmoid(out["onset_A"]),
+                    jax.nn.sigmoid(out["offset_A"]),
+                    jax.nn.sigmoid(out["mpe_A"]),
+                    jnp.argmax(out["velocity_A"], axis=-1).astype(jnp.int8))
 
-    # Timing methodology: this environment reaches the chip through a tunnel
-    # whose block_until_ready is unreliable (returns before execution ends),
-    # so the measured region is a device-side lax.scan of `iters` forwards
-    # inside ONE jit, closed by a host fetch of a scalar checksum. That times
-    # pure steady-state device compute, which is the honest definition of
-    # audio-sec/sec/chip (the input pipeline overlaps in production).
-    @jax.jit
-    def forward_n(spec):
-        def body(carry, _):
-            outs = posteriors(spec + carry * 1e-20)  # defeat CSE across steps
-            return carry + outs[0][0, 0, 0].astype(jnp.float32), None
-        carry, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
-        return carry
+        # Timing methodology: this environment reaches the chip through a
+        # tunnel whose block_until_ready is unreliable (returns before
+        # execution ends), so the measured region is a device-side lax.scan
+        # of `iters` forwards inside ONE jit, closed by a host fetch of a
+        # scalar checksum. That times pure steady-state device compute,
+        # which is the honest definition of audio-sec/sec/chip (the input
+        # pipeline overlaps in production).
+        @jax.jit
+        def forward_n(spec):
+            def body(carry, _):
+                outs = posteriors(spec + carry * 1e-20)  # defeat CSE
+                return carry + outs[0][0, 0, 0].astype(jnp.float32), None
+            carry, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            return carry
+
+        return forward_n
 
     rng = np.random.default_rng(0)
     spec = jnp.asarray(rng.standard_normal(
         (batch, config.feature.n_bins, config.window_frames)) * 2.0 - 8.0,
         jnp.float32)
 
-    for _ in range(warmup):
+    def measure(precision):
+        forward_n = make_forward_n(precision)
+        for _ in range(warmup):
+            float(forward_n(spec))
+        t0 = time.perf_counter()
         float(forward_n(spec))
+        return (time.perf_counter() - t0) / iters
 
-    t0 = time.perf_counter()
-    float(forward_n(spec))
-    dt = (time.perf_counter() - t0) / iters
+    dt = measure(None)                       # bf16 exact-parity path
+    dt_q8 = measure("int8")                  # W8A8 quantized path
     audio_sec_per_sec = batch * sec_per_window / dt
     flops = model_forward_flops(config, batch)
     record = {
@@ -170,6 +180,9 @@ def main() -> None:
         "model_tflops_per_forward": round(flops / 1e12, 3),
         "mfu_vs_v5e_bf16_peak": round(flops / dt / 1e12
                                       / V5E_BF16_PEAK_TFLOPS, 3),
+        "int8_audio_sec_per_sec_per_chip": round(
+            batch * sec_per_window / dt_q8, 2),
+        "ms_per_batch32_forward_int8": round(dt_q8 * 1e3, 2),
     }
     record.update(train_throughput())
     print(json.dumps(record))

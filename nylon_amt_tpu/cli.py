@@ -173,7 +173,9 @@ def cmd_transcribe(args) -> int:
 
         mesh = make_mesh(n_data=args.n_data)
     tr = Transcriber(config, params=params, batch_windows=args.batch_windows,
-                     mesh=mesh)
+                     mesh=mesh,
+                     precision="int8" if getattr(args, "int8", False)
+                     else None)
 
     wavs = list(args.wav or [])
     if args.list:
@@ -425,6 +427,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--save-posteriors", action="store_true")
     r.add_argument("--tab", action="store_true",
                    help="also export guitar tablature (alphaTex)")
+    r.add_argument("--int8", action="store_true",
+                   help="experimental W8A8 quantized engine (measured "
+                        "SLOWER than bf16 on v5e — the engine is "
+                        "bandwidth-bound, not MXU-bound; see PERF.md)")
     r.set_defaults(fn=cmd_transcribe)
 
     v = sub.add_parser("serve", help="streaming transcription (PCM stdin or "

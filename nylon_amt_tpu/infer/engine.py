@@ -95,15 +95,25 @@ def _dense(x, p, dt):
 
 
 def forward(params: Any, spec: jax.Array, config: Config, *,
-            interpret: bool = False) -> dict:
+            interpret: bool = False, precision: str | None = None) -> dict:
     """Deterministic hFT forward on the fused-layer path.
 
     ``spec [B, n_bin, margin_b + n_frame + margin_f]`` -> dict of logits
     with the same keys/shapes as ``HFT.apply`` (no ``attention``).
+
+    ``precision="int8"`` routes the transformer layers through the W8A8
+    kernels (:mod:`nylon_amt_tpu.ops.layer_fused_q8`): per-channel int8
+    weights, dynamic per-row int8 activations, int8 MXU matmuls (2x the
+    bf16 rate on v5e). Output heads, LayerNorm, softmax, and the stem stay
+    in the bf16 path's numerics. Default (None/"bf16"/"float32") is the
+    exact-parity path.
     """
     cfg = config
     m = cfg.model
     dt = _dt(cfg)
+    q8 = precision == "int8"
+    if q8:
+        from nylon_amt_tpu.ops import layer_fused_q8 as lq
     enc_p = params["encoder"]
     dec_p = params["decoder"]
     B = spec.shape[0]
@@ -111,6 +121,25 @@ def forward(params: Any, spec: jax.Array, config: Config, *,
     n_note, n_vel = cfg.midi.num_note, cfg.midi.num_velocity
     hid = m.hid_dim
     sqrt_hid = jnp.sqrt(jnp.float32(hid)).astype(dt)
+
+    def enc_params(layer):
+        p = _pack_encoder(layer, dt)
+        return lq.quantize_encoder_params(p) if q8 else p
+
+    def cross_params(layer, with_self):
+        p = _pack_cross(layer, dt, with_self)
+        return lq.quantize_cross_params(p) if q8 else p
+
+    enc_layer_fn = (lambda h, p, nh, it: lq.encoder_layer_q8(h, p, nh, it)) \
+        if q8 else encoder_layer
+    dec_zero_fn = (lambda t, e, p, nh, it:
+                   lq.decoder_layer_zero_q8(t, e, p, nh, it)) \
+        if q8 else decoder_layer_zero
+    dec_layer_fn = (lambda t, e, p, nh, it: lq.decoder_layer_q8(t, e, p, nh,
+                                                                it)) \
+        if q8 else decoder_layer
+    stem_layer_fn = lq.encoder_layer_with_stem_q8 if q8 \
+        else encoder_layer_with_stem
 
     # ---- frequency encoder -------------------------------------------------
     # Stem + pos embedding fused into the first layer's kernel: the spec is
@@ -125,9 +154,9 @@ def forward(params: Any, spec: jax.Array, config: Config, *,
             cnn_channel=m.cnn_channel, cnn_kernel=m.cnn_kernel, hid_dim=hid,
             n_margin=cfg.input.margin_b)
         spec_t = spec.astype(jnp.float32).transpose(0, 2, 1)  # frame-major
-        h = encoder_layer_with_stem(
+        h = stem_layer_fn(
             spec_t, keff, beff, pos,
-            _pack_encoder(enc_p["layers_freq_0"], dt), m.enc_head, n_frame,
+            enc_params(enc_p["layers_freq_0"]), m.enc_head, n_frame,
             dt, interpret)
         first_layer = 1
     except ValueError:          # geometry the banded kernel can't block
@@ -141,19 +170,19 @@ def forward(params: Any, spec: jax.Array, config: Config, *,
         h = emb.reshape(B * n_frame, n_bin, hid)
         h = h * sqrt_hid + pos[None]
     for i in range(first_layer, m.enc_layer):
-        h = encoder_layer(h, _pack_encoder(enc_p[f"layers_freq_{i}"], dt),
-                          m.enc_head, interpret)
+        h = enc_layer_fn(h, enc_params(enc_p[f"layers_freq_{i}"]),
+                         m.enc_head, interpret)
     enc = h                                           # [B*n_frame, n_bin, hid]
 
     # ---- stage 1: CAfreq ----------------------------------------------------
     note_q = dec_p["pos_embedding_freq"]["embedding"].astype(dt)
     trg = jnp.broadcast_to(note_q[None], (B * n_frame, n_note, hid))
-    trg = decoder_layer_zero(
-        trg, enc, _pack_cross(dec_p["layer_zero_freq"], dt, False),
+    trg = dec_zero_fn(
+        trg, enc, cross_params(dec_p["layer_zero_freq"], False),
         m.dec_head, interpret)
     for i in range(m.dec_layer - 1):
-        trg = decoder_layer(
-            trg, enc, _pack_cross(dec_p[f"layers_freq_{i}"], dt, True),
+        trg = dec_layer_fn(
+            trg, enc, cross_params(dec_p[f"layers_freq_{i}"], True),
             m.dec_head, interpret)
 
     out = {
@@ -175,8 +204,8 @@ def forward(params: Any, spec: jax.Array, config: Config, *,
     time_pos = dec_p["pos_embedding_time"]["embedding"].astype(dt)
     t = t * sqrt_hid + time_pos[None]
     for i in range(m.dec_layer):
-        t = encoder_layer(t, _pack_encoder(dec_p[f"layers_time_{i}"], dt),
-                          m.dec_head, interpret)
+        t = enc_layer_fn(t, enc_params(dec_p[f"layers_time_{i}"]),
+                         m.dec_head, interpret)
 
     def head_t(name):
         return _dense(t, dec_p[name], dt)

@@ -41,9 +41,10 @@ class Transcriber:
 
     def __init__(self, config: Config, params: Any = None, model=None,
                  batch_windows: int = 8, use_engine: bool | None = None,
-                 mesh=None):
+                 mesh=None, precision: str | None = None):
         self.config = config
         self.params = params
+        self.precision = precision
         custom_model = model is not None
         if model is None:
             from nylon_amt_tpu.models.hft import build_model
@@ -62,6 +63,9 @@ class Transcriber:
                           and resolve_attention_impl(
                               config.model.attention_impl) == "pallas")
         self.use_engine = use_engine
+        if precision == "int8" and not use_engine:
+            raise ValueError("precision='int8' requires the fused-layer "
+                             "engine (engine.supports(config) must hold)")
         self.mesh = mesh
         n_data = 1
         if mesh is not None:
@@ -107,7 +111,8 @@ class Transcriber:
             from nylon_amt_tpu.ops.attention import on_tpu
 
             out = engine.forward(params, windows, self.config,
-                                 interpret=not on_tpu())
+                                 interpret=not on_tpu(),
+                                 precision=self.precision)
         else:
             out = self.model.apply({"params": params}, windows,
                                    deterministic=True)

@@ -153,10 +153,10 @@ def _enc_kernel(x_ref, wqkv, bqkv, wo, bo, g, b, w1, b1, w2, b2, o_ref, *,
         w1[...], b1[...], w2[...], b2[...], n_heads, scale)
 
 
-def _enc_stem_kernel(spec_ref, kband, beff, pos, wqkv, bqkv, wo, bo, g, b,
-                     w1, b1, w2, b2, o_ref, *, n_heads, scale, bn, n_frame,
-                     sqrt_hid, out_dtype):
-    """Stem + position embedding + first encoder layer in one kernel.
+def _stem_embed(spec_ref, kband, beff, pos, *, bn, n_frame, sqrt_hid,
+                out_dtype):
+    """In-kernel stem + position embedding: the block's ``bn`` frames of the
+    VMEM-resident spectrogram -> embedded ``[bn, n_bin, hid]`` activations.
 
     ``spec_ref`` holds one example's FULL frame-major spectrogram
     ``[1, total_frames, n_bin]`` (a window's spec is ~200 KB — it stays
@@ -196,7 +196,16 @@ def _enc_stem_kernel(spec_ref, kband, beff, pos, wqkv, bqkv, wo, bo, g, b,
     beff_col = beff[...][None, :, None].astype(out_dtype)  # [1, hid, 1]
     xt = e.astype(out_dtype) + beff_col
     xt = xt * jnp.float32(sqrt_hid).astype(out_dtype) + pos[...][None]
-    x = jnp.swapaxes(xt, 1, 2)                             # [bn, n_bin, hid]
+    return jnp.swapaxes(xt, 1, 2)                          # [bn, n_bin, hid]
+
+
+def _enc_stem_kernel(spec_ref, kband, beff, pos, wqkv, bqkv, wo, bo, g, b,
+                     w1, b1, w2, b2, o_ref, *, n_heads, scale, bn, n_frame,
+                     sqrt_hid, out_dtype):
+    """Stem + position embedding + first encoder layer in one kernel
+    (see :func:`_stem_embed` for the banded-stem mechanics)."""
+    x = _stem_embed(spec_ref, kband, beff, pos, bn=bn, n_frame=n_frame,
+                    sqrt_hid=sqrt_hid, out_dtype=out_dtype)
     o_ref[...] = _self_block(
         x, wqkv[...], bqkv[...], wo[...], bo[...], g[...], b[...],
         w1[...], b1[...], w2[...], b2[...], n_heads, scale)
@@ -300,6 +309,33 @@ def stem_block_rows(n: int, n_frame: int, n_bin: int, hid: int, pf: int,
     return bn
 
 
+def build_stem_kband(keff, bn: int, n_frame: int, total: int):
+    """Banded tap matrices for the in-kernel stem, one per 8-alignment
+    phase: with the block's frames starting ``phase*bn`` rows into the
+    aligned load, ``kband[p, j*hid + h, phase*bn + j + m] = keff[m, h]`` —
+    the stem contraction is one matmul against the selected band (transposed
+    so frames/hid land on the matmul's M axis; see the kernel docstring).
+    Raises ValueError for geometries the aligned loads cannot cover."""
+    n_proc, hid = keff.shape
+    if bn % 8 and 8 % bn:
+        raise ValueError(f"stem block rows {bn} incompatible with 8-aligned "
+                         "loads; use the XLA stem path")
+    n_phase = 1 if bn % 8 == 0 else 8 // bn
+    span = (8 - bn if bn < 8 else 0) + bn + n_proc - 1
+    span += (-span) % 8
+    aligned_max = ((n_frame - bn) // 8) * 8 if n_phase > 1 else n_frame - bn
+    if aligned_max + span > total:
+        raise ValueError("spec too short for aligned stem loads; "
+                         "use the XLA stem path")
+    t = jnp.arange(span)[:, None, None]                   # [span, 1, 1]
+    j = jnp.arange(bn)[None, :, None]                     # [1, bn, 1]
+    ph = jnp.arange(n_phase)[None, None, :]               # [1, 1, n_phase]
+    m = t - j - ph * bn                                   # [span, bn, n_phase]
+    band = jnp.where(((m >= 0) & (m < n_proc))[..., None],
+                     keff[jnp.clip(m, 0, n_proc - 1)], 0.0)
+    return band.transpose(2, 1, 3, 0).reshape(n_phase, bn * hid, span)
+
+
 def encoder_layer_with_stem(spec_t, keff, beff, pos, p: EncoderLayerParams,
                             n_heads: int, n_frame: int, out_dtype,
                             interpret: bool = False):
@@ -318,29 +354,8 @@ def encoder_layer_with_stem(spec_t, keff, beff, pos, p: EncoderLayerParams,
     scale = 1.0 / float(hid // n_heads) ** 0.5
     bn = stem_block_rows(n, n_frame, n_bin, hid, pf,
                          jnp.dtype(out_dtype).itemsize)
-    if bn % 8 and 8 % bn:
-        raise ValueError(f"stem block rows {bn} incompatible with 8-aligned "
-                         "loads; use the XLA stem path")
-    n_phase = 1 if bn % 8 == 0 else 8 // bn
-    span = (8 - bn if bn < 8 else 0) + bn + n_proc - 1
-    span += (-span) % 8
-    aligned_max = ((n_frame - bn) // 8) * 8 if n_phase > 1 else n_frame - bn
-    if aligned_max + span > total:
-        raise ValueError("spec too short for aligned stem loads; "
-                         "use the XLA stem path")
+    kband = build_stem_kband(keff, bn, n_frame, total)
     sqrt_hid = float(hid) ** 0.5         # static: rounded in-kernel
-    # Banded tap matrices, one per 8-alignment phase: with the block's
-    # frames starting ``phase*bn`` rows into the aligned load,
-    # ``kband[p, j*hid + h, phase*bn + j + m] = keff[m, h]`` — the stem
-    # contraction is one matmul against the selected band (transposed so
-    # frames/hid land on the matmul's M axis; see the kernel docstring).
-    t = jnp.arange(span)[:, None, None]                   # [span, 1, 1]
-    j = jnp.arange(bn)[None, :, None]                     # [1, bn, 1]
-    ph = jnp.arange(n_phase)[None, None, :]               # [1, 1, n_phase]
-    m = t - j - ph * bn                                   # [span, bn, n_phase]
-    band = jnp.where(((m >= 0) & (m < n_proc))[..., None],
-                     keff[jnp.clip(m, 0, n_proc - 1)], 0.0)
-    kband = band.transpose(2, 1, 3, 0).reshape(n_phase, bn * hid, span)
     weights = [p.wqkv, p.bqkv, p.wo, p.bo, p.g, p.b, p.w1, p.b1, p.w2, p.b2]
     pos_t = pos.T                                         # [hid, n_bin]
     spec_spec = pl.BlockSpec((1, total, n_bin),
