@@ -137,11 +137,51 @@ def cmd_train(args) -> int:
 
         metrics_fn = make_note_metrics_fn(config)
 
+    state = None
+    if args.init_from:
+        # Warm start (fine-tune): load pretrained params into a FRESH
+        # TrainState (step 0, fresh optimizer/scheduler) — the workflow the
+        # reference's long-term goal implies (train on MAESTRO piano,
+        # fine-tune on nylon guitar; README.md:1-37) but never built.
+        # Distinct from --resume, which restores the full training state.
+        from nylon_amt_tpu.train.step import create_train_state
+
+        state = create_train_state(config, jax.random.key(config.train.seed),
+                                   batch_size=config.train.batch_size)
+        if args.init_from.endswith((".pkl", ".dat")):
+            from nylon_amt_tpu.train.importer import load_reference_checkpoint
+
+            params = load_reference_checkpoint(args.init_from,
+                                               config.model.enc_layer,
+                                               config.model.dec_layer)
+        else:
+            from nylon_amt_tpu.train.checkpoint import load_params
+
+            params = load_params(args.init_from, args.init_epoch,
+                                 args.init_div)
+        def shapes(tree):  # container-type-agnostic (dict vs FrozenDict)
+            return {jax.tree_util.keystr(k): v.shape for k, v in
+                    jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+        if shapes(state.params) != shapes(params):
+            raise SystemExit(
+                f"--init-from {args.init_from}: parameter tree does not "
+                "match this config's architecture")
+        state = state.replace(params=params)
+
     trainer = Trainer(config, args.out, mesh=mesh)
     resume = ("auto" if args.resume_auto
               else tuple(args.resume) if args.resume else None)
-    trainer.fit(provider, resume=resume, metrics_fn=metrics_fn,
-                valid_test=args.valid_test)
+    import contextlib
+
+    ctx = contextlib.nullcontext()
+    if args.trace:
+        from nylon_amt_tpu.utils.profiling import trace
+
+        ctx = trace(args.trace)
+    with ctx:
+        trainer.fit(provider, state=state, resume=resume,
+                    metrics_fn=metrics_fn, valid_test=args.valid_test)
     print(f"training done; best valid loss {trainer.best_loss_valid:.5f} "
           f"(epoch {trainer.best_epoch} div {trainer.best_div})")
     return 0
@@ -379,11 +419,24 @@ def build_parser() -> argparse.ArgumentParser:
     resume_group.add_argument("--resume-auto", action="store_true",
                               help="resume from the newest checkpoint on disk "
                                    "(crash/preemption recovery)")
+    t.add_argument("--init-from",
+                   help="warm-start (fine-tune) from pretrained params: an "
+                        "orbax checkpoint dir or a reference .pkl/.dat. "
+                        "Fresh optimizer/scheduler/epoch counters — unlike "
+                        "--resume, which restores full training state and "
+                        "takes precedence if a checkpoint exists")
+    t.add_argument("--init-epoch", type=int,
+                   help="with --init-from DIR: pick this (epoch, div)")
+    t.add_argument("--init-div", type=int)
     t.add_argument("--keep-checkpoints", type=int,
                    help="retain only the best + newest K checkpoints")
     t.add_argument("--remat", action="store_true",
                    help="rematerialize encoder/decoder activations in the "
                         "backward pass (gradient checkpointing)")
+    t.add_argument("--trace",
+                   help="capture a JAX profiler trace of the run to this "
+                        "dir (TensorBoard/Perfetto); intended for short "
+                        "profiling runs")
     t.add_argument("--n-data", type=int, help="data-parallel mesh size")
     t.add_argument("--n-model", type=int, default=1, help="TP mesh size")
     t.add_argument("--multihost", action="store_true",

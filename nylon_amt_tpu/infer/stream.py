@@ -393,4 +393,11 @@ class StreamingTranscriber:
                    and self._post_start + self._n_frame <= keep_f):
                 self._posteriors.pop(0)
                 self._post_start += self._n_frame
+            if self._popped:
+                # dedup keys for notes whose posteriors were pruned can
+                # never be regenerated by a future tail decode — drop them
+                # so retained memory stays bounded on endless streams
+                # (one frame of slack for sub-frame onset interpolation)
+                cutoff = (self._post_start - 1) / fps * 1e4
+                self._popped = {k for k in self._popped if k[2] >= cutoff}
         return fresh

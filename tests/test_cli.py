@@ -120,3 +120,55 @@ def test_train_valid_test_records_test_loss(workdir, tmp_path):
         perf = json.load(f)
     assert len(perf["loss_test"]) == len(perf["loss_train"]) == 1
     assert np.isfinite(perf["loss_test"][0])
+
+
+def test_train_init_from_warm_starts(workdir, tmp_path):
+    """--init-from fine-tunes from a checkpoint's params (fresh optimizer),
+    and rejects a checkpoint whose architecture mismatches the config."""
+    from nylon_amt_tpu.train.checkpoint import load_params
+
+    corpus = tmp_path / "corpus"
+    rc = main(["corpus", "--config", str(workdir / "config.json"),
+               "--lists", str(workdir / "lists"), "--out", str(corpus)])
+    assert rc == 0
+    run = tmp_path / "ft"
+    rc = main(["train", "--config", str(workdir / "config.json"),
+               "--dataset", str(corpus), "--out", str(run),
+               "--init-from", str(workdir / "ckpt"), "--epochs", "1"])
+    assert rc == 0
+    # the fine-tune trained: its params moved away from the init params
+    init = load_params(str(workdir / "ckpt"))
+    tuned = load_params(str(run / "checkpoints"))
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        init, tuned)
+    assert max(jax.tree_util.tree_leaves(deltas)) > 0
+
+    # architecture mismatch -> clear error, not a shape crash mid-train
+    import dataclasses
+
+    cfg = Config.from_dict(json.load(open(workdir / "config.json")))
+    big = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, hid_dim=cfg.model.hid_dim
+                                       * 2))
+    with open(tmp_path / "big.json", "w") as f:
+        json.dump(big.to_dict(), f)
+    with pytest.raises(SystemExit, match="does not match"):
+        main(["train", "--config", str(tmp_path / "big.json"),
+              "--dataset", str(corpus), "--out", str(tmp_path / "ft2"),
+              "--init-from", str(workdir / "ckpt"), "--epochs", "1"])
+
+
+def test_train_trace_writes_profile(workdir, tmp_path):
+    """--trace captures a JAX profiler trace of the run."""
+    corpus = tmp_path / "corpus"
+    rc = main(["corpus", "--config", str(workdir / "config.json"),
+               "--lists", str(workdir / "lists"), "--out", str(corpus)])
+    assert rc == 0
+    trace_dir = tmp_path / "trace"
+    rc = main(["train", "--config", str(workdir / "config.json"),
+               "--dataset", str(corpus), "--out", str(tmp_path / "run_tr"),
+               "--epochs", "1", "--trace", str(trace_dir)])
+    assert rc == 0
+    found = [p for p in trace_dir.rglob("*") if p.is_file()]
+    assert found, "no trace artifacts written"

@@ -222,3 +222,39 @@ def test_pop_stable_notes_prunes_posteriors(tiny, rng):
     # ~0.7 s bursts)
     assert max_blocks <= 4
     assert st._post_start > 0
+
+
+def test_pop_stable_notes_prunes_dedup_keys(tiny):
+    """The emitted-note dedup set must not grow with stream length (an
+    endless serving stream would otherwise leak one key per note).
+
+    Uses the deferred-session API to inject synthetic posteriors (one
+    clear note per block), so the note stream is deterministic instead of
+    depending on a random-init model's threshold crossings."""
+    cfg, params = tiny
+    st = StreamingTranscriber(cfg, params=params, mode="single", defer=True)
+    nf, nn = cfg.input.num_frame, cfg.midi.num_note
+    sr, hop = cfg.feature.sr, cfg.feature.hop_sample
+
+    def block_post():
+        z = np.zeros((1, nf, nn), np.float32)
+        onset, offset, mpe = z.copy(), z.copy(), z.copy()
+        vel = np.zeros((1, nf, nn), np.int8)
+        onset[0, 10, 40], offset[0, 40, 40] = 0.9, 0.9
+        mpe[0, 10:41, 40] = 0.9
+        vel[0, 10, 40] = 80
+        return {"onset_A": onset, "offset_A": offset, "mpe_A": mpe,
+                "velocity_A": vel}
+
+    n_popped, max_keys = 0, 0
+    for _ in range(12):
+        st.feed(np.zeros(nf * hop, np.float32))
+        blocks = st._ready_block_ids(final=False)
+        for k in blocks:
+            st.accept_posteriors([k], block_post())
+        if blocks:
+            n_popped += len(st.pop_stable_notes())
+            max_keys = max(max_keys, len(st._popped))
+    assert n_popped >= 6           # one injected note per emitted block
+    assert max_keys < n_popped     # keys for pruned history were dropped
+    assert len(st._popped) <= max_keys
