@@ -329,6 +329,24 @@ def cmd_serve(args) -> int:
     return 0
 
 
+# ------------------------------------------------------------------ export ----
+
+def cmd_export(args) -> int:
+    """Orbax checkpoint -> reference-format .dat (torch state_dict), so a
+    model trained here can be loaded back into the PyTorch reference."""
+    from nylon_amt_tpu.train.checkpoint import load_params
+    from nylon_amt_tpu.train.importer import save_reference_checkpoint
+
+    config = _load_config(args.config)
+    params = load_params(args.checkpoint, args.epoch, args.div)
+    save_reference_checkpoint(args.out, params, config.model.enc_layer,
+                              config.model.dec_layer,
+                              enc_alg=config.model.enc_alg,
+                              dec_alg=config.model.dec_alg)
+    print(f"exported {args.checkpoint} -> {args.out}")
+    return 0
+
+
 # -------------------------------------------------------------- evaluate ----
 
 def cmd_evaluate(args) -> int:
@@ -499,6 +517,15 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--batch-windows", type=int, default=1)
     v.add_argument("--midi", help="also write the final MIDI here")
     v.set_defaults(fn=cmd_serve)
+
+    x = sub.add_parser("export", help="orbax checkpoint -> reference-format "
+                                      ".dat (torch state_dict)")
+    x.add_argument("--config")
+    x.add_argument("--checkpoint", required=True, help="orbax checkpoint dir")
+    x.add_argument("--epoch", type=int)
+    x.add_argument("--div", type=int)
+    x.add_argument("--out", required=True, help="output .dat path")
+    x.set_defaults(fn=cmd_export)
 
     e = sub.add_parser("evaluate", help="score estimated vs reference notes")
     e.add_argument("--config")

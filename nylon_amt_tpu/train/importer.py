@@ -186,6 +186,79 @@ def convert_state_dict(
     return params
 
 
+def export_state_dict(
+    params: Mapping[str, Any],
+    enc_layers: int,
+    dec_layers: int,
+    enc_alg: str = "cnntime_safreq",
+    dec_alg: str = "cafreq_satime",
+    batch_stats: Mapping[str, Any] | None = None,
+) -> dict:
+    """Inverse of :func:`convert_state_dict`: flax params -> torch-layout
+    ``state_dict`` (numpy arrays, reference key names).
+
+    Lets a checkpoint trained here be loaded back into the reference's
+    PyTorch ``Model_SPEC2MIDI`` (``model_spec2midi.py:9-35``) via
+    ``model.load_state_dict`` — the reverse interop direction, so results
+    can be cross-validated in the original stack. Raises ``KeyError`` if
+    ``params`` contains leaves the rule table does not cover (an
+    architecture mismatch would otherwise be silently dropped).
+    """
+    import jax
+
+    rules = build_rules(enc_layers, dec_layers, enc_alg, dec_alg)
+    sd: dict = {}
+    used: set[str] = set()
+    for key, (path, tf) in rules.items():
+        if tf == "skip":
+            # BatchNorm num_batches_tracked: unused in eval; momentum-based
+            # updates in the reference never read it either.
+            sd[key] = np.zeros((), np.int64)
+            continue
+        tree = batch_stats if tf == "batch_stat" else params
+        node = tree
+        for p in path:
+            node = node[p]
+        used.add(("batch_stats:" if tf == "batch_stat" else "params:")
+                 + "/".join(path))
+        arr = np.asarray(node, dtype=np.float32)
+        if tf == _TRANSPOSE:
+            arr = arr.T
+        elif tf == "conv":
+            arr = arr.reshape(arr.shape[0], 1, 1, arr.shape[1])
+        elif tf == "conv2d":
+            arr = arr.transpose(3, 2, 0, 1)  # flax HWIO -> torch OIHW
+        sd[key] = np.ascontiguousarray(arr)
+    leaves = {"params:" + "/".join(str(k.key) for k in kp)
+              for kp, _ in jax.tree_util.tree_flatten_with_path(params)[0]}
+    if batch_stats is not None:
+        leaves |= {"batch_stats:" + "/".join(str(k.key) for k in kp)
+                   for kp, _ in
+                   jax.tree_util.tree_flatten_with_path(batch_stats)[0]}
+    unexported = leaves - used
+    if unexported:
+        raise KeyError(f"params leaves not covered by the export rules "
+                       f"(architecture mismatch?): {sorted(unexported)[:5]}")
+    return sd
+
+
+def save_reference_checkpoint(path: str, params: Mapping[str, Any],
+                              enc_layers: int, dec_layers: int,
+                              enc_alg: str = "cnntime_safreq",
+                              dec_alg: str = "cafreq_satime",
+                              batch_stats: Mapping[str, Any] | None = None,
+                              ) -> None:
+    """Write a reference-format ``.dat`` (torch.save dict with
+    ``model_dict``) that both :func:`load_reference_checkpoint` and the
+    reference's resume path (``m_training.py:264-299``) can read."""
+    import torch
+
+    sd = export_state_dict(params, enc_layers, dec_layers, enc_alg, dec_alg,
+                           batch_stats)
+    torch.save({"model_dict": {k: torch.from_numpy(np.asarray(v))
+                               for k, v in sd.items()}}, path)
+
+
 def load_reference_checkpoint(path: str, enc_layers: int, dec_layers: int,
                               enc_alg: str = "cnntime_safreq",
                               dec_alg: str = "cafreq_satime") -> dict:

@@ -159,6 +159,25 @@ def test_train_init_from_warm_starts(workdir, tmp_path):
               "--init-from", str(workdir / "ckpt"), "--epochs", "1"])
 
 
+def test_export_then_transcribe_matches(workdir, tmp_path):
+    """cli export writes a reference-format .dat that the transcribe path
+    (torch importer) loads back to identical notes."""
+    dat = tmp_path / "model.dat"
+    rc = main(["export", "--config", str(workdir / "config.json"),
+               "--checkpoint", str(workdir / "ckpt"), "--out", str(dat)])
+    assert rc == 0
+
+    out_a, out_b = tmp_path / "from_orbax", tmp_path / "from_dat"
+    for ckpt, out in ((workdir / "ckpt", out_a), (dat, out_b)):
+        rc = main(["transcribe", "--config", str(workdir / "config.json"),
+                   "--checkpoint", str(ckpt),
+                   "--wav", str(workdir / "te0.wav"), "--out", str(out)])
+        assert rc == 0
+    a = json.load(open(out_a / "te0.notes.json"))
+    b = json.load(open(out_b / "te0.notes.json"))
+    assert a == b
+
+
 def test_train_trace_writes_profile(workdir, tmp_path):
     """--trace captures a JAX profiler trace of the run."""
     corpus = tmp_path / "corpus"

@@ -107,3 +107,61 @@ def test_dropout_rng_changes_output(rng):
     o2 = model.apply({"params": params}, spec, deterministic=False,
                      rngs={"dropout": jax.random.key(2)})
     assert not np.allclose(np.asarray(o1["onset_A"]), np.asarray(o2["onset_A"]))
+
+
+def test_export_roundtrip(rng):
+    """export_state_dict is the exact inverse of convert_state_dict."""
+    from nylon_amt_tpu.models.hft import init_params
+    from nylon_amt_tpu.train.importer import export_state_dict
+
+    cfg = Config(model=ModelConfig(hid_dim=32, pf_dim=64, enc_layer=2,
+                                   dec_layer=2, enc_head=2, dec_head=2,
+                                   dropout=0.0))
+    params = init_params(cfg, jax.random.key(3))
+    sd = export_state_dict(params, cfg.model.enc_layer, cfg.model.dec_layer)
+    back = convert_state_dict(sd, cfg.model.enc_layer, cfg.model.dec_layer)
+
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+    assert len(flat_a) == len(flat_b)
+    for kp, v in flat_a:
+        np.testing.assert_array_equal(np.asarray(v, np.float32), flat_b[kp],
+                                      err_msg=jax.tree_util.keystr(kp))
+
+
+@requires_reference
+def test_export_torch_forward_parity(rng):
+    """A checkpoint trained here, exported to a torch state_dict and loaded
+    into the reference Model_SPEC2MIDI (strict keys), reproduces our
+    forward — the reverse interop direction of test_forward_parity."""
+    from nylon_amt_tpu.models.hft import init_params
+    from nylon_amt_tpu.train.importer import export_state_dict
+
+    cfg = Config(model=ModelConfig(hid_dim=64, pf_dim=128, enc_layer=2,
+                                   dec_layer=2, enc_head=2, dec_head=2,
+                                   dropout=0.0))
+    params = init_params(cfg, jax.random.key(7))
+    sd = export_state_dict(params, cfg.model.enc_layer, cfg.model.dec_layer)
+
+    ref_model = _load_reference_model(cfg)
+    ref_model.load_state_dict({k: torch.from_numpy(np.array(v, copy=True))
+                               for k, v in sd.items()}, strict=True)
+    ref_model.eval()
+
+    spec = rng.standard_normal((2, 256, 192)).astype(np.float32)
+    with torch.no_grad():
+        (t_on_A, _, _, t_vel_A, t_attn,
+         t_on_B, _, t_mpe_B, _) = ref_model(torch.from_numpy(spec))
+
+    model = HFT(config=cfg)
+    out = model.apply({"params": params}, spec, deterministic=True)
+    np.testing.assert_allclose(np.asarray(jax.nn.sigmoid(out["onset_A"])),
+                               t_on_A.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["velocity_A"]),
+                               t_vel_A.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["attention"]), t_attn.numpy(),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jax.nn.sigmoid(out["onset_B"])),
+                               t_on_B.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jax.nn.sigmoid(out["mpe_B"])),
+                               t_mpe_B.numpy(), atol=2e-5)
