@@ -8,18 +8,19 @@ streams. This scheduler does the minimum that makes that efficient:
   StreamingTranscriber` (``defer=True``) — feeds only advance ring
   buffers, never touch the device;
 * :meth:`StreamServer.pump` collects every session's ready windows,
-  concatenates them into ONE batched forward through the shared
+  concatenates them into batched forwards through the shared
   :class:`~nylon_amt_tpu.infer.transcribe.Transcriber` (fixed
-  ``batch_windows`` => one compiled shape), and routes the posterior rows
-  back to their sessions;
+  ``batch_windows`` shape => ``ceil(total/max_batch)`` forwards per pump,
+  ONE in steady state), and routes the posterior rows back to their
+  sessions;
 * per-session results then flow through the session's own incremental
   decode (``pop_stable_notes``), so memory stays bounded per stream.
 
 The reference has no serving path at all (SURVEY §0); this module is the
 TPU-native answer to "production deployment and serving": device work is
-batched (MXU-friendly), device interactions per pump are O(1) regardless
-of session count, and sessions are isolated (a closed/flushed stream never
-blocks the others).
+batched (MXU-friendly), device interactions per pump scale with the total
+window backlog — not the session count — and sessions are isolated (a
+closed/flushed stream never blocks the others).
 
 Typical loop (socket server, audio mixer, ...)::
 
@@ -46,8 +47,9 @@ class StreamServer:
     """Batching scheduler over many :class:`StreamingTranscriber` sessions.
 
     All sessions share one :class:`Transcriber` (one jitted forward, one
-    compiled batch shape). ``max_batch`` is the per-forward window budget —
-    ready blocks beyond it simply ride the next pump.
+    compiled batch shape). ``max_batch`` is the per-forward window budget;
+    a pump with more ready windows than that runs them immediately as
+    several fixed-shape sub-batches (nothing is deferred to later pumps).
     """
 
     def __init__(self, config: Config, params: Any = None,
@@ -92,9 +94,10 @@ class StreamServer:
     # -- the batched step ------------------------------------------------------
 
     def pump(self, **decode_kwargs) -> list[tuple[int, list[dict]]]:
-        """Run ONE batched forward over every session's ready blocks and
-        return ``(sid, newly_stable_notes)`` for each session that produced
-        any. Closed sessions emit their final notes and are removed."""
+        """Batch every session's ready blocks through the shared forward
+        (one sub-batch per ``max_batch`` windows) and return
+        ``(sid, newly_stable_notes)`` for each session that produced any.
+        Closed sessions emit their final notes and are removed."""
         # sessions with emittable blocks this pump
         ready = [(sid, st, st._ready_block_ids(final=sid in self._closing))
                  for sid, st in self._sessions.items()]
@@ -113,6 +116,16 @@ class StreamServer:
                 groups.setdefault(k, []).append((st, seg, n))
         for items in groups.values():
             segs = np.stack([seg for _, seg, _ in items])
+            # Bucket the batch axis to powers of two: the featurizer is
+            # jitted, and sessions join/leave/pend at different rates, so an
+            # unpadded [S, ...] would retrace (= full remote recompile in
+            # this environment) on every distinct session count.
+            s = segs.shape[0]
+            s_pad = 1 << (s - 1).bit_length()
+            if s_pad > s:
+                segs = np.concatenate(
+                    [segs, np.zeros((s_pad - s,) + segs.shape[1:],
+                                    segs.dtype)])
             feats = np.asarray(
                 self.tr.frontend.features_from_sample_blocks(segs))
             for (st, _, n), f in zip(items, feats):

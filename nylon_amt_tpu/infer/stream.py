@@ -146,15 +146,15 @@ class StreamingTranscriber:
         if self._flushed:
             return []
         self._flushed = True
-        # offline frame count: 1 + n_samples // hop  (mel.py num_frames)
-        self._advance_frames(last_frame=self._n_samples // self._hop,
-                             right_pad=True)
+        # offline frame count: 1 + n_samples // hop (mel.py num_frames);
+        # the tail's zero right-padding happens in _take_pending when
+        # hi > n_samples.
+        self._advance_frames(last_frame=self._n_samples // self._hop)
         if self._defer:
             return []
         return self._emit_ready_blocks(final=True)
 
-    def _advance_frames(self, last_frame: int, right_pad: bool = False
-                        ) -> None:
+    def _advance_frames(self, last_frame: int) -> None:
         """Finalize feature frames up to ``last_frame`` (bookkeeping only;
         the samples stay in the ring buffer until featurization)."""
         if last_frame >= self._next_frame:
@@ -369,14 +369,27 @@ class StreamingTranscriber:
         horizon = horizon_f / fps
 
         if fam is None:
-            fam = "B" if self.mode == "combination" else "A"
+            # Pick from the stored posterior keys, not the mode: a stage-1-
+            # only model (cafreq ablation) emits only A heads even under
+            # mode="combination" (accept_posteriors stores what the model
+            # produced).
+            fam = ("B" if self._posteriors and "onset_B" in self._posteriors[0]
+                   else "A")
         # notes() decodes the retained tail and returns absolute times
         fresh, unstable_onsets = [], []
         for n in self.notes(fam=fam, **decode_kwargs):
             if n["offset"] < horizon or final:
-                key = (fam, n["pitch"], round(n["onset"] * 1e4))
-                if key not in self._popped:
-                    self._popped.add(key)
+                # Dedup key quantizes onset to 0.1 ms. The tail decode
+                # recomputes absolute times as t_local + post_start/fps
+                # (~1 ulp drift vs the full-history float), so a time at a
+                # rounding boundary could requantize one bucket over —
+                # also match the neighbor buckets (same-pitch re-onsets
+                # are >= 1 frame = 16 ms apart, so neighbors are
+                # unambiguous).
+                q = round(n["onset"] * 1e4)
+                if not any((fam, n["pitch"], q + d) in self._popped
+                           for d in (0, -1, 1)):
+                    self._popped.add((fam, n["pitch"], q))
                     fresh.append(n)
             else:
                 unstable_onsets.append(n["onset"])

@@ -205,7 +205,10 @@ def make_fused_apply(config: Config, interpret: bool | None = None):
     """Drop-in for ``model.apply`` over the fused training kernels.
 
     Signature: ``apply(variables, spec, deterministic=False, rngs=None)``.
-    ``deterministic=True`` runs with rate 0 (all PRNG work compiled out).
+    ``deterministic=True`` runs with rate 0 (all PRNG work compiled out);
+    ``deterministic=False`` requires ``rngs={'dropout': key}`` and raises
+    otherwise (the flax contract — silently training at rate 0 is a
+    model-quality bug with no symptom).
     """
     if interpret is None:
         from nylon_amt_tpu.ops.attention import on_tpu
@@ -214,10 +217,15 @@ def make_fused_apply(config: Config, interpret: bool | None = None):
 
     def apply(variables, spec, deterministic: bool = False, rngs=None):
         params = variables["params"]
-        if deterministic or not rngs:
+        if deterministic:
             rng = jax.random.key(0)
             rate = 0.0
         else:
+            if not rngs or "dropout" not in rngs:
+                # Match the flax contract: training without a dropout rng
+                # must be an error, not silent rate-0 regularization.
+                raise ValueError("make_fused_apply: deterministic=False "
+                                 "requires rngs={'dropout': key}")
             rng = rngs["dropout"]
             rate = None
         return train_forward(params, spec, config, rng,

@@ -20,13 +20,18 @@ forward and backward kernels *by construction*. The stateful Pallas PRNG
 cannot guarantee that: ``prng_random_bits`` output depends on the compiled
 vector layout, which differs between the two kernel binaries, and the
 resulting silent fwd/bwd mask mismatch produced wrong gradients (caught by
-``scripts/validate_fused_train_tpu.py``'s finite-difference check).
+``scripts/validate_fused_train_tpu.py``, which compares kernel grads
+against XLA autodiff of a jnp replica with identical masks — finite
+differences CANNOT validate gradients on this hardware: bf16 MXU operand
+rounding floors small eps and softmax curvature ruins large eps; see
+CLAUDE.md).
 
 Semantics match ``models.hft.EncoderLayer`` exactly (post-LN, ONE LayerNorm
 instance shared by both residuals, f32 LN statistics, bf16 matmuls with f32
 accumulation); gradient parity vs the flax/autodiff path is tested at
-dropout 0 and via finite differences with dropout active (the hash mask is
-interpreter-compatible, so CPU tests cover the dropout path too).
+dropout 0, and with dropout active against an autodiff replica that
+regenerates the same hash masks (the mask is interpreter-compatible, so
+CPU tests cover the dropout path too).
 """
 
 from __future__ import annotations

@@ -115,3 +115,37 @@ def test_closed_session_is_removed_and_others_continue(tiny, rng):
     srv.close(b)
     srv.pump()
     assert srv.session_ids == []
+
+
+def test_pump_featurize_batch_is_bucketed(tiny, rng):
+    """The batched featurize must pad the session axis to a power of two —
+    an unpadded [S, ...] retraces the jitted featurizer on every distinct
+    session count (a full remote recompile in the production environment)."""
+    cfg, params = tiny
+    sr = cfg.feature.sr
+    tr = Transcriber(cfg, params=params, batch_windows=4)
+    srv = StreamServer(cfg, transcriber=tr)
+
+    seen = []
+    orig = tr.frontend.features_from_sample_blocks
+
+    def spy(segs):
+        seen.append(np.asarray(segs).shape[0])
+        return orig(segs)
+
+    tr.frontend.features_from_sample_blocks = spy
+    try:
+        wav = _audio(rng, 4.5, sr, 440.0)
+        sids = [srv.open() for _ in range(3)]     # 3 -> must pad to 4
+        for i in range(0, wav.shape[0], 8000):
+            for sid in sids:
+                srv.feed(sid, wav[i : i + 8000])
+            srv.pump()
+        for sid in sids:
+            srv.close(sid)
+        srv.pump()
+    finally:
+        tr.frontend.features_from_sample_blocks = orig
+    assert seen, "featurize never ran"
+    assert all(s & (s - 1) == 0 for s in seen), f"non-bucketed sizes: {seen}"
+    assert 4 in seen                              # the 3-session group padded

@@ -258,3 +258,32 @@ def test_pop_stable_notes_prunes_dedup_keys(tiny):
     assert n_popped >= 6           # one injected note per emitted block
     assert max_keys < n_popped     # keys for pruned history were dropped
     assert len(st._popped) <= max_keys
+
+
+def test_pop_stable_notes_a_only_model_under_combination_mode(tiny):
+    """A stage-1-only model emits only A heads; pop_stable_notes must pick
+    the family from the stored posteriors, not assume B exists because the
+    session was opened in combination mode."""
+    cfg, params = tiny
+    st = StreamingTranscriber(cfg, params=params, mode="combination",
+                              defer=True)
+    nf, nn = cfg.input.num_frame, cfg.midi.num_note
+    hop = cfg.feature.hop_sample
+
+    z = np.zeros((1, nf, nn), np.float32)
+    onset, offset, mpe = z.copy(), z.copy(), z.copy()
+    vel = np.zeros((1, nf, nn), np.int8)
+    onset[0, 10, 50], offset[0, 40, 50] = 0.9, 0.9
+    mpe[0, 10:41, 50] = 0.9
+    vel[0, 10, 50] = 90
+    post = {"onset_A": onset, "offset_A": offset, "mpe_A": mpe,
+            "velocity_A": vel}
+
+    popped = []
+    for _ in range(4):
+        st.feed(np.zeros(nf * hop, np.float32))
+        for k in st._ready_block_ids(final=False):
+            st.accept_posteriors([k], post)
+        popped += st.pop_stable_notes()       # must not KeyError on onset_B
+    assert popped and all(n["pitch"] == 50 + cfg.midi.note_min
+                          for n in popped)
