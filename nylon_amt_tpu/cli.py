@@ -359,9 +359,25 @@ def cmd_evaluate(args) -> int:
     )
 
     config = _load_config(args.config)
+    pairs = list(args.pair or [])
+    if args.list:
+        # Corpus-driven batch mode, the EXE-EVALUATION-MAESTRO.sh flow:
+        # pair every split entry's reference MIDI with the transcription
+        # artifact `cli transcribe --list` wrote for it.
+        from nylon_amt_tpu.data.lists import CorpusList
+
+        cl = CorpusList.load(args.list)
+        for _, wav, midi in cl.entries[args.split]:
+            stem = os.path.splitext(os.path.basename(wav))[0]
+            est = os.path.join(args.est_dir or ".", stem + args.suffix)
+            pairs.append(f"{midi}:{est}")
+    if not pairs:
+        print("evaluate: no input (--pair or --list required)",
+              file=sys.stderr)
+        return 2
     per_file_notes, per_file_frames = {}, {}
     per_file_mpe = {}
-    for pair in args.pair:
+    for pair in pairs:
         ref_path, est_path = pair.split(":")
         ref_notes = midi2note(config, ref_path)
         if est_path.endswith(".npz"):
@@ -529,8 +545,18 @@ def build_parser() -> argparse.ArgumentParser:
 
     e = sub.add_parser("evaluate", help="score estimated vs reference notes")
     e.add_argument("--config")
-    e.add_argument("--pair", nargs="+", required=True,
+    e.add_argument("--pair", nargs="+",
                    metavar="REF.mid:EST.{mid,json,post.npz}")
+    e.add_argument("--list", help="lists dir (from `corpus`): score every "
+                                  "file of --split against --est-dir "
+                                  "artifacts (batch mode)")
+    e.add_argument("--split", default="test",
+                   choices=["train", "valid", "test"])
+    e.add_argument("--est-dir",
+                   help="directory of `transcribe` outputs (with --list)")
+    e.add_argument("--suffix", default=".notes.json",
+                   help="estimate filename suffix per wav stem (e.g. "
+                        "'_1st.notes.json' for the A heads)")
     e.add_argument("--out")
     e.set_defaults(fn=cmd_evaluate)
     return p

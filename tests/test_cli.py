@@ -159,6 +159,31 @@ def test_train_init_from_warm_starts(workdir, tmp_path):
               "--init-from", str(workdir / "ckpt"), "--epochs", "1"])
 
 
+def test_evaluate_batch_list_mode(workdir, tmp_path):
+    """evaluate --list scores every split file against transcribe --list
+    outputs (the EXE-EVALUATION-MAESTRO.sh loop) with per-file + mean."""
+    out = workdir / "out_eval_batch"
+    rc = main(["transcribe", "--config", str(workdir / "config.json"),
+               "--checkpoint", str(workdir / "ckpt"),
+               "--list", str(workdir / "lists"), "--split", "test",
+               "--out", str(out)])
+    assert rc == 0
+    result_path = tmp_path / "scores.json"
+    rc = main(["evaluate", "--config", str(workdir / "config.json"),
+               "--list", str(workdir / "lists"), "--split", "test",
+               "--est-dir", str(out), "--out", str(result_path)])
+    assert rc == 0
+    scores = json.load(open(result_path))
+    assert set(scores["note"]["per_file"]) == {"te0.notes.json",
+                                               "te1.notes.json"}
+    for fam in ("note", "frame"):
+        assert np.isfinite(scores[fam]["mean"]["F-measure"])
+
+    # no input at all -> usage error, matching transcribe
+    assert main(["evaluate", "--config",
+                 str(workdir / "config.json")]) == 2
+
+
 def test_export_then_transcribe_matches(workdir, tmp_path):
     """cli export writes a reference-format .dat that the transcribe path
     (torch importer) loads back to identical notes."""
