@@ -265,6 +265,11 @@ def cmd_transcribe(args) -> int:
 
             write_alphatex(notes, os.path.join(out_dir, stem + ".alphatex"),
                            title=stem)
+        if args.sheet:
+            from nylon_amt_tpu.infer.sheet import write_musicxml
+
+            write_musicxml(notes, os.path.join(out_dir, stem + ".musicxml"),
+                           title=stem)
         if args.save_posteriors:
             np.savez_compressed(os.path.join(out_dir, stem + ".post.npz"),
                                 **post)
@@ -514,6 +519,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--save-posteriors", action="store_true")
     r.add_argument("--tab", action="store_true",
                    help="also export guitar tablature (alphaTex)")
+    r.add_argument("--sheet", action="store_true",
+                   help="also export sheet music (MusicXML)")
     r.add_argument("--int8", action="store_true",
                    help="experimental W8A8 quantized engine (measured "
                         "SLOWER than bf16 on v5e — the engine is "

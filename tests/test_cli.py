@@ -62,11 +62,14 @@ def test_transcribe_combination_writes_both_families(workdir):
     out = workdir / "out_comb"
     rc = main(["transcribe", "--config", str(workdir / "config.json"),
                "--checkpoint", str(workdir / "ckpt"),
-               "--wav", str(workdir / "te0.wav"), "--out", str(out)])
+               "--wav", str(workdir / "te0.wav"), "--out", str(out),
+               "--tab", "--sheet"])
     assert rc == 0
     assert (out / "te0_1st.notes.json").exists()
     assert (out / "te0_2nd.notes.json").exists()
     assert (out / "te0.mid").exists()
+    assert (out / "te0.alphatex").exists()
+    assert (out / "te0.musicxml").exists()
     # The primary JSON mirrors the 2nd (B-head) decode in combination mode.
     with open(out / "te0.notes.json") as f:
         primary = json.load(f)
