@@ -146,6 +146,12 @@ def load_params(directory: str, epoch: int | None = None,
 
     Without (epoch, div), follows the ``best.json`` pointer (the reference's
     ``best_model.pkl`` analog — ``m_training.py:394-420``).
+
+    Device-portable: a template-less orbax restore replays the shardings
+    recorded at save time, so a TPU-trained checkpoint raises "Device TPU …
+    was not found" when loaded for CPU inference. The abstract tree is built
+    from checkpoint *metadata* with an explicit local-device sharding
+    instead (orbax requires a concrete sharding per leaf).
     """
     mgr = CheckpointManager(directory)
     if epoch is None or div is None:
@@ -154,7 +160,13 @@ def load_params(directory: str, epoch: int | None = None,
             raise FileNotFoundError(f"no best checkpoint recorded in {directory}")
         epoch, div = tag
     path = os.path.abspath(os.path.join(directory, _tag(epoch, div), "state"))
-    tree = ocp.StandardCheckpointer().restore(path)
+    meta = mgr._ckptr.metadata(path).item_metadata
+    sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+    abstract = jax.tree_util.tree_map(
+        lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype,
+                                       sharding=sharding),
+        meta, is_leaf=lambda x: hasattr(x, "shape") and hasattr(x, "dtype"))
+    tree = mgr._ckptr.restore(path, abstract)
     return jax.tree_util.tree_map(jax.numpy.asarray, tree["params"])
 
 

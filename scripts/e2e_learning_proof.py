@@ -63,6 +63,14 @@ def main():
     ap.add_argument("--dur", type=float, default=20.0)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--n-slice", type=int, default=4)
+    ap.add_argument("--patience", type=int, default=10_000,
+                    help="plateau-scheduler patience (epochs); the default "
+                         "effectively disables lr decay")
+    ap.add_argument("--attention-impl", default="auto",
+                    choices=["auto", "pallas", "xla"],
+                    help="'xla' forces the flax/autodiff training path "
+                         "(reference semantics, nn.Dropout) — the A/B "
+                         "control for the fused custom-VJP kernels")
     ap.add_argument("--out", default="/tmp/nylon_e2e_proof")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the newest checkpoint in --out "
@@ -83,12 +91,14 @@ def main():
     cfg = Config(
         model=ModelConfig(hid_dim=64, pf_dim=128, enc_layer=2, dec_layer=2,
                           enc_head=2, dec_head=2, dropout=0.1,
-                          compute_dtype="bfloat16"),
-        # constant lr: the plateau scheduler watches the total valid loss,
-        # which the (hard) velocity/offset heads dominate — it kills the lr
-        # while onset learning is still mid-breakout
+                          compute_dtype="bfloat16",
+                          attention_impl=args.attention_impl),
+        # constant lr by default: the plateau scheduler watches the total
+        # valid loss, which the (hard) velocity/offset heads dominate — it
+        # can kill the lr while onset learning is still mid-breakout
         train=TrainConfig(epochs=args.epochs, batch_size=8, lr=args.lr,
-                          n_slice=args.n_slice, plateau_patience=10_000),
+                          n_slice=args.n_slice,
+                          plateau_patience=args.patience),
     )
     rng = np.random.default_rng(42)
     frontend = MelFrontend(cfg.feature)

@@ -1,0 +1,234 @@
+"""Head-to-head: a checkpoint trained HERE, served by the REFERENCE stack.
+
+Closes the last indirection in the F1-parity chain: train the reduced-recipe
+hFT on synthetic audio in this framework (TPU), export the checkpoint to the
+reference's torch layout (``train/importer.py::save_reference_checkpoint``),
+then run the reference's own inference stack — ``AMT.transcript`` chunk loop
++ ``AMT.mpe2note`` peak-picking decode (``/root/reference/hftt_code/model/
+amt.py:66-118,179-344``) — on the held-out piece, and score BOTH outputs
+with the same scorer. A reference user switching stacks in either direction
+must see the same notes and the same F1.
+
+Pass criteria (printed as one JSON line at the end):
+  * posterior parity: max |ours_f32 - reference| <= 5e-4 on every B head;
+  * decode parity: identical note count, pitches, and onset order, F1 equal
+    to 3 decimals;
+  * absolute quality: onset F1 >= 0.75 on the held-out piece (same bar as
+    ``scripts/e2e_learning_proof.py``).
+
+Usage: python scripts/headtohead_reference.py [--epochs 60] [--pieces 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+import types
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from nylon_amt_tpu.config import Config, ModelConfig, TrainConfig
+
+REFERENCE_PATH = os.environ.get("NYLON_REFERENCE_PATH", "/root/reference")
+
+
+def reference_amt(cfg: Config, state_dict_path: str):
+    """Build the reference AMT + Model_SPEC2MIDI (cpu) from an exported
+    ``.dat`` checkpoint (``m_training.py:374-392`` format)."""
+    import torch
+
+    for mod in ("torchaudio", "pretty_midi"):  # unused at inference time
+        sys.modules.setdefault(mod, types.ModuleType(mod))
+    sys.path.insert(0, os.path.join(REFERENCE_PATH, "hftt_code", "model"))
+    try:
+        import amt as ref_amt
+        import model_spec2midi as ref_model
+    finally:
+        sys.path.pop(0)
+
+    m = cfg.model
+    encoder = ref_model.Encoder_SPEC2MIDI(
+        cfg.input.margin_b, cfg.input.num_frame, cfg.feature.n_bins,
+        m.cnn_channel, m.cnn_kernel, m.hid_dim, m.enc_layer, m.enc_head,
+        m.pf_dim, m.dropout, "cpu")
+    decoder = ref_model.Decoder_SPEC2MIDI(
+        cfg.input.num_frame, cfg.feature.n_bins, cfg.midi.num_note,
+        cfg.midi.num_velocity, m.hid_dim, m.dec_layer, m.dec_head, m.pf_dim,
+        m.dropout, "cpu")
+    model = ref_model.Model_SPEC2MIDI(encoder, decoder)
+    ckpt = torch.load(state_dict_path, map_location="cpu", weights_only=False)
+    model.load_state_dict({k: v for k, v in ckpt["model_dict"].items()})
+    model.eval()
+
+    config_dict = {
+        "feature": {"sr": cfg.feature.sr, "hop_sample": cfg.feature.hop_sample,
+                    "n_bins": cfg.feature.n_bins,
+                    "log_offset": cfg.feature.log_offset},
+        "input": {"margin_b": cfg.input.margin_b,
+                  "margin_f": cfg.input.margin_f,
+                  "num_frame": cfg.input.num_frame,
+                  "min_value": cfg.input.min_value},
+        "midi": {"num_note": cfg.midi.num_note,
+                 "note_min": cfg.midi.note_min,
+                 "num_velocity": cfg.midi.num_velocity},
+    }
+    a = ref_amt.AMT(config_dict, None)
+    a.model = model
+    a.device = "cpu"
+    return a
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--pieces", type=int, default=16)
+    ap.add_argument("--dur", type=float, default=20.0)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--out", default="/tmp/nylon_headtohead")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend. TPU matmuls round operands "
+                         "to bf16 even under f32 params (default matmul "
+                         "precision), which floors posterior parity at ~1e-1; "
+                         "run training on the TPU, then re-run with --resume "
+                         "--cpu for the true-f32 comparison phase (fit() "
+                         "returns the restored checkpoint instantly once all "
+                         "epochs are complete).")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        # The env's sitecustomize force-selects the TPU at startup; env vars
+        # alone cannot override it (see .claude/skills/verify/SKILL.md).
+        jax.config.update("jax_platforms", "cpu")
+
+    from e2e_learning_proof import synth_piece
+    from nylon_amt_tpu.data.corpus import assemble_split
+    from nylon_amt_tpu.data.windows import WindowDataset
+    from nylon_amt_tpu.infer.transcribe import Transcriber
+    from nylon_amt_tpu.labels import note2label
+    from nylon_amt_tpu.metrics.harness import score_notes
+    from nylon_amt_tpu.ops.mel import MelFrontend
+    from nylon_amt_tpu.train.importer import save_reference_checkpoint
+    from nylon_amt_tpu.train.loop import Trainer
+
+    print("backend:", jax.default_backend(), flush=True)
+    cfg = Config(
+        model=ModelConfig(hid_dim=64, pf_dim=128, enc_layer=2, dec_layer=2,
+                          enc_head=2, dec_head=2, dropout=0.1,
+                          compute_dtype="bfloat16"),
+        train=TrainConfig(epochs=args.epochs, batch_size=8, lr=args.lr,
+                          n_slice=4, plateau_patience=10_000),
+    )
+    rng = np.random.default_rng(42)
+    frontend = MelFrontend(cfg.feature)
+
+    t0 = time.time()
+    train_pieces, valid_pieces = [], []
+    for i in range(args.pieces + 2):
+        wav, notes = synth_piece(rng, dur=args.dur)
+        feat = np.asarray(frontend(wav))
+        labels = note2label(cfg, notes, nframe=feat.shape[0])
+        (train_pieces if i < args.pieces else valid_pieces).append(
+            (feat, labels))
+    test_wav, test_notes = synth_piece(rng, dur=args.dur)
+    print(f"corpus built in {time.time() - t0:.0f}s", flush=True)
+
+    train_arrays = assemble_split(cfg, *zip(*train_pieces))
+    valid_arrays = assemble_split(cfg, *zip(*valid_pieces))
+
+    def provider(split, div):
+        arrays = train_arrays if split == "train" else valid_arrays
+        return WindowDataset(arrays, cfg, n_slice=cfg.train.n_slice)
+
+    trainer = Trainer(cfg, args.out)
+    t0 = time.time()
+    state = trainer.fit(provider, resume="auto" if args.resume else None)
+    print(f"training took {time.time() - t0:.0f}s", flush=True)
+
+    # Serve the BEST-valid checkpoint, the reference's ``best_model.pkl``
+    # eval workflow (``m_training.py:394-420``; its inference CLI loads the
+    # best model, not the last epoch). The 16-piece synthetic corpus overfits
+    # hard after ~epoch 12 (valid 0.089 -> 0.29 by epoch 59); the final
+    # state scores F1 ~0.05 on the held-out piece, the best ~0.8+.
+    from nylon_amt_tpu.train.checkpoint import load_params
+
+    try:
+        params = load_params(trainer.ckpt.directory)
+        print(f"serving best checkpoint (epoch {trainer.best_epoch} "
+              f"div {trainer.best_div})", flush=True)
+    except FileNotFoundError:
+        params = state.params
+
+    feat = np.asarray(frontend(test_wav))
+
+    # --- our stack, f32 compute (the exported params are f32; comparing the
+    # reference's f32 torch forward against our bf16 path would conflate
+    # engine parity with precision) -------------------------------------
+    cfg_f32 = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, compute_dtype="float32"))
+    tr = Transcriber(cfg_f32, params=params, batch_windows=8)
+    post = tr.transcript(feat)
+    notes_ours = tr.mpe2note(post["onset_B"], post["offset_B"], post["mpe_B"],
+                             post["velocity_B"], mode_velocity="org")
+    s_ours = score_notes(test_notes, notes_ours, with_velocity=False)
+
+    # --- export -> reference stack --------------------------------------
+    export_path = os.path.join(args.out, "model_export.dat")
+    save_reference_checkpoint(export_path, jax.device_get(params),
+                              cfg.model.enc_layer, cfg.model.dec_layer)
+    amt = reference_amt(cfg, export_path)
+    ref_out = amt.transcript(feat)
+    (r_on_A, r_off_A, r_mpe_A, r_vel_A,
+     r_on_B, r_off_B, r_mpe_B, r_vel_B) = ref_out
+
+    n = post["onset_B"].shape[0]
+    post_delta = max(
+        float(np.max(np.abs(post["onset_B"] - r_on_B[:n]))),
+        float(np.max(np.abs(post["offset_B"] - r_off_B[:n]))),
+        float(np.max(np.abs(post["mpe_B"] - r_mpe_B[:n]))),
+    )
+    vel_mismatch = int(np.sum(post["velocity_B"] != r_vel_B[:n]))
+
+    notes_ref = amt.mpe2note(r_on_B, r_off_B, r_mpe_B, r_vel_B,
+                             mode_velocity="org")
+    s_ref = score_notes(test_notes, notes_ref, with_velocity=False)
+
+    same_notes = (
+        len(notes_ours) == len(notes_ref)
+        and all(a["pitch"] == b["pitch"]
+                and abs(a["onset"] - b["onset"]) < 1e-3
+                and abs(a["offset"] - b["offset"]) < 1e-3
+                for a, b in zip(notes_ours, notes_ref)))
+
+    result = {
+        "f1_ours": round(s_ours["F-measure_no_offset"], 4),
+        "f1_reference_stack": round(s_ref["F-measure_no_offset"], 4),
+        "precision_ours": round(s_ours["Precision_no_offset"], 4),
+        "recall_ours": round(s_ours["Recall_no_offset"], 4),
+        "n_notes_ours": len(notes_ours),
+        "n_notes_reference_stack": len(notes_ref),
+        "n_ref_notes": len(test_notes),
+        "posterior_max_abs_delta": post_delta,
+        "velocity_argmax_mismatches": vel_mismatch,
+        "identical_note_stream": same_notes,
+    }
+    ok = (post_delta <= 5e-4
+          and same_notes
+          and abs(result["f1_ours"] - result["f1_reference_stack"]) < 5e-4
+          and result["f1_ours"] >= 0.75)
+    result["pass"] = ok
+    print(json.dumps(result, indent=2))
+    print("HEAD-TO-HEAD:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -145,6 +145,31 @@ def test_checkpoint_roundtrip(rng, tmp_path):
     assert int(restored.step) == 1
 
 
+def test_load_params_ignores_saved_shardings(rng, tmp_path):
+    """load_params must restore on the local topology even when the
+    checkpoint was written with device placements that no longer exist
+    (e.g. TPU-trained -> CPU inference, or mesh-sharded -> single device).
+    The template-less orbax restore replays saved shardings and raises
+    'Device ... was not found'; the metadata-template path must not."""
+    from nylon_amt_tpu.train.checkpoint import CheckpointManager, load_params
+
+    cfg = tiny_config(batch_size=8)
+    state = create_train_state(cfg, jax.random.key(0))
+    mesh = make_mesh(n_data=8)
+    sharded = state.replace(params=shard_params(state.params, mesh))
+
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(0, 0, sharded, {"scheduler": {"lr": 1e-4}}, is_best=True)
+
+    params = load_params(str(tmp_path))  # single-device restore
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert len(leaf.devices()) == 1
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        state.params, params)
+
+
 def test_dp_matches_single_device(rng):
     """A data-parallel step over an 8-device mesh must equal the single-device
     step (same batch, replicated params)."""
