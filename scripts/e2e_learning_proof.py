@@ -88,6 +88,9 @@ def main():
     from nylon_amt_tpu.train.loop import Trainer
 
     print("backend:", jax.default_backend(), flush=True)
+    from nylon_amt_tpu.models import fused_train
+    from nylon_amt_tpu.models.hft import resolve_attention_impl
+    from nylon_amt_tpu.ops.attention import on_tpu
     cfg = Config(
         model=ModelConfig(hid_dim=64, pf_dim=128, enc_layer=2, dec_layer=2,
                           enc_head=2, dec_head=2, dropout=0.1,
@@ -100,6 +103,11 @@ def main():
                           n_slice=args.n_slice,
                           plateau_patience=args.patience),
     )
+    fused = (fused_train.supports(cfg) and on_tpu()
+             and resolve_attention_impl(cfg.model.attention_impl) == "pallas")
+    print(f"train path: {'fused-pallas' if fused else 'flax-autodiff'} "
+          f"(attention_impl={args.attention_impl}, "
+          f"patience={args.patience})", flush=True)
     rng = np.random.default_rng(42)
     frontend = MelFrontend(cfg.feature)
 
