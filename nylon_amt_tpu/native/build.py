@@ -12,8 +12,8 @@ _lock = threading.Lock()
 _lib = None
 _tried = False
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "native", "decoder.cpp")
+# Shipped as package data so pip-installed trees can rebuild the library.
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "decoder.cpp")
 
 
 def _lib_path() -> str:
