@@ -161,6 +161,11 @@ class TrainConfig:
     # Checkpoint retention: keep the best checkpoint plus the newest K.
     # None keeps everything (the reference keeps all model_EEE_DDD.dat files).
     keep_checkpoints: int | None = None
+    # Tunneled-backend hygiene: clear the transfer journal every N (epoch,
+    # div) boundaries (see utils/tunnel.py — the tunnel retains every H2D
+    # payload, ~3 MB/step, unbounded). No-op on non-journaling backends
+    # (real libtpu, CPU). None disables.
+    journal_reset_divs: int | None = 1
 
 
 @dataclass(frozen=True)

@@ -54,7 +54,8 @@ class StreamServer:
 
     def __init__(self, config: Config, params: Any = None,
                  transcriber: Transcriber | None = None, max_batch: int = 8,
-                 mode: str = "combination", **tr_kwargs):
+                 mode: str = "combination",
+                 journal_reset_pumps: int | None = 128, **tr_kwargs):
         self.config = config
         self.mode = mode
         self.tr = transcriber or Transcriber(config, params=params,
@@ -63,6 +64,13 @@ class StreamServer:
         self._sessions: dict[int, StreamingTranscriber] = {}
         self._closing: set[int] = set()
         self._next_sid = 0
+        # Tunnel hygiene: the journaling tunnel retains every uploaded audio
+        # segment (~MBs/pump for a full fleet), so an endless serving
+        # process grows RSS without bound. Between pumps all session state
+        # is host-side; every N pumps the shared transcriber's device state
+        # is carried across a journal reset. No-op off-tunnel.
+        self.journal_reset_pumps = journal_reset_pumps
+        self._pumps = 0
 
     # -- session lifecycle -----------------------------------------------------
 
@@ -163,4 +171,9 @@ class StreamServer:
             if final:
                 del self._sessions[sid]
                 self._closing.discard(sid)
+
+        self._pumps += 1
+        jr = self.journal_reset_pumps
+        if jr and self._pumps % jr == 0:
+            self.tr.reset_transfer_journal()
         return out

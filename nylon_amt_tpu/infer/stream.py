@@ -66,7 +66,8 @@ class StreamingTranscriber:
 
     def __init__(self, config: Config, params: Any = None,
                  transcriber: Transcriber | None = None, mode: str =
-                 "combination", defer: bool = False, **tr_kwargs):
+                 "combination", defer: bool = False,
+                 journal_reset_blocks: int | None = 512, **tr_kwargs):
         if config.feature.pad_mode != "constant":
             raise ValueError("streaming requires pad_mode='constant' "
                              f"(got {config.feature.pad_mode!r})")
@@ -78,6 +79,8 @@ class StreamingTranscriber:
         self._defer = defer
         self.tr = transcriber or Transcriber(config, params=params,
                                              **tr_kwargs)
+        self.journal_reset_blocks = journal_reset_blocks
+        self._blocks_since_reset = 0
         cfg = config
         self._hop = cfg.feature.hop_sample
         self._n_fft = cfg.feature.fft_bins
@@ -268,7 +271,18 @@ class StreamingTranscriber:
         blocks, windows = self.ready_windows(final)
         if not blocks:
             return []
-        return self.accept_posteriors(blocks, self.tr._run_all(windows))
+        out = self.accept_posteriors(blocks, self.tr._run_all(windows))
+        # Tunnel hygiene for endless single-stream sessions: every uploaded
+        # segment is retained by the journaling tunnel (utils/tunnel.py);
+        # with all posteriors now host-side this is a safe fence point.
+        # Deferred sessions are fenced by their StreamServer instead.
+        jr = self.journal_reset_blocks
+        if jr and not self._defer:
+            self._blocks_since_reset += len(blocks)
+            if self._blocks_since_reset >= jr:
+                self._blocks_since_reset = 0
+                self.tr.reset_transfer_journal()
+        return out
 
     def _window(self, k: int) -> np.ndarray:
         """Feature window for block ``k``: rows ``[128k - margin_b,

@@ -95,6 +95,30 @@ class Transcriber:
         else:
             self._jit_batch = jax.jit(self._run_batch)
 
+    # -- tunnel hygiene --------------------------------------------------------
+
+    def reset_transfer_journal(self) -> bool:
+        """Carry this transcriber's device state (params + frontend
+        constants) across a tunnel transfer-journal reset
+        (``utils/tunnel.py``). Long-running serving sessions call this
+        periodically — the journaling tunnel retains every uploaded audio
+        segment, so an endless stream grows host RSS without bound.
+        Returns False (no-op) off-tunnel. Only safe between forwards, with
+        no other live device arrays."""
+        from nylon_amt_tpu.utils.tunnel import (
+            journal_reset_supported,
+            reset_transfer_journal,
+        )
+
+        if not journal_reset_supported():
+            return False
+        tree = {"params": self.params,
+                "mel": self.frontend.device_state()}
+        tree = reset_transfer_journal(tree)
+        self.params = tree["params"]
+        self.frontend.restore_device_state(tree["mel"])
+        return True
+
     # -- L1: features --------------------------------------------------------
 
     def wav2feature(self, path: str) -> np.ndarray:

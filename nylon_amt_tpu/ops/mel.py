@@ -128,6 +128,17 @@ class MelFrontend:
         self._jit_frames = jax.jit(self._compute_from_frames)
         self._jit_segments = jax.jit(self._compute_from_sample_blocks)
 
+    def device_state(self) -> tuple:
+        """Device-resident constants, for carrying across a tunnel journal
+        reset (``utils/tunnel.py``). Compiled executables embed these as
+        constants, so already-traced shapes keep working either way; a
+        RE-trace (new bucket shape) reads the attributes, which must
+        therefore point at live buffers."""
+        return (self._cos_w, self._sin_w, self._fb)
+
+    def restore_device_state(self, state: tuple) -> None:
+        self._cos_w, self._sin_w, self._fb = state
+
     # -- framing ---------------------------------------------------------
 
     def num_frames(self, n_samples: int) -> int:

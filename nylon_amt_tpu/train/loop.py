@@ -27,6 +27,10 @@ import numpy as np
 
 from nylon_amt_tpu.config import Config
 from nylon_amt_tpu.data.prefetch import prefetch
+from nylon_amt_tpu.utils.tunnel import (
+    journal_reset_supported,
+    reset_transfer_journal,
+)
 from nylon_amt_tpu.data.windows import WindowDataset
 from nylon_amt_tpu.parallel.distributed import is_coordinator
 from nylon_amt_tpu.parallel.mesh import (
@@ -322,6 +326,21 @@ class Trainer:
                     state = state.replace(opt_state=set_learning_rate(
                         state.opt_state, self.scheduler.lr))
                     log.info("plateau: lr reduced to %g", self.scheduler.lr)
+
+                # Tunnel hygiene: the journaling tunnel client retains every
+                # H2D payload (~3 MB/step — utils/tunnel.py), so a full run
+                # would be OOM-killed around 27k steps. The (epoch, div)
+                # boundary is the one point where state + dropout_rng are the
+                # ONLY live device arrays (prefetch drained, losses fetched,
+                # checkpoint saved), so they can be carried across a journal
+                # reset. No-op off-tunnel.
+                jr = t.journal_reset_divs
+                if jr and (epoch * t.n_div_train + div + 1) % jr == 0 \
+                        and journal_reset_supported():
+                    state, dropout_rng = reset_transfer_journal(
+                        (state, dropout_rng))
+                    log.info("transfer journal reset at epoch %d div %d",
+                             epoch, div)
 
                 log.info("[epoch %03d div %03d] train %.5f valid %.5f "
                          "(%.1fs, lr %g)", epoch, div, loss_train, loss_valid,

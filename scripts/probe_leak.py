@@ -4,10 +4,14 @@ A 60-epoch head-to-head run grew to 118 GB RSS (~4 MB/step — one batch's
 host staging per step) and was OOM-killed. This probe isolates which stage
 retains host memory, printing RSS every ``--every`` steps for each mode:
 
-  put    — device_put of fresh numpy batches only (no compute)
-  step   — train_step on ONE device-resident batch (no transfers)
-  full   — the production path: gather -> prefetch thread -> device_put ->
-           train_step (what the Trainer runs)
+  put        — device_put of fresh numpy batches only (no compute)
+  put-reuse  — device_put of the SAME preallocated numpy buffers each step
+               (fresh data np.copyto'd in); tests per-source-buffer retention
+  put-del    — like put, but explicitly .delete()s the previous device batch
+               before transferring the next; tests deferred-deletion pinning
+  step       — train_step on ONE device-resident batch (no transfers)
+  full       — the production path: gather -> prefetch thread -> device_put ->
+               train_step (what the Trainer runs)
 
 Usage: python scripts/probe_leak.py --mode full --steps 600
 """
@@ -34,11 +38,17 @@ def rss_mb() -> float:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["put", "step", "full"], default="full")
+    ap.add_argument("--mode",
+                    choices=["put", "put-reuse", "put-del", "step", "full"],
+                    default="full")
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--every", type=int, default=100)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--reset-every", type=int, default=0, metavar="N",
+                    help="full mode: carry state across a transfer-journal "
+                         "reset every N steps (utils/tunnel.py) — the "
+                         "production mitigation; RSS should stay flat")
     args = ap.parse_args()
 
     import jax
@@ -79,10 +89,20 @@ def main() -> int:
 
     base = None
     t0 = time.time()
-    if args.mode == "put":
+    if args.mode in ("put", "put-reuse", "put-del"):
+        staging = fresh_batch() if args.mode == "put-reuse" else None
         last = None
         for i in range(args.steps):
-            last = jax.device_put(fresh_batch())
+            nxt = fresh_batch()
+            if args.mode == "put-reuse":
+                for k in staging:
+                    np.copyto(staging[k], nxt[k])
+                nxt = staging
+            if args.mode == "put-del" and last is not None:
+                jax.block_until_ready(last)
+                for v in last.values():
+                    v.delete()
+            last = jax.device_put(nxt)
             if (i + 1) % args.every == 0:
                 jax.block_until_ready(last)
                 r = rss_mb()
@@ -103,22 +123,41 @@ def main() -> int:
                 print(f"{i+1:6d} rss {r:9.1f} MB (+{r-base:8.1f})", flush=True)
     else:  # full — the Trainer.train_epoch shape
         from nylon_amt_tpu.data.prefetch import prefetch
+        from nylon_amt_tpu.utils.tunnel import (
+            journal_reset_supported,
+            reset_transfer_journal,
+        )
+
+        if args.reset_every:
+            print("journal reset supported:", journal_reset_supported(),
+                  flush=True)
 
         def gen(n):
             for _ in range(n):
                 yield fresh_batch()
 
         losses, i = [], 0
-        for batch in prefetch(gen(args.steps), transfer=jax.device_put):
-            state, metrics = step(state, batch, key)
-            losses.append(metrics["loss"])
-            i += 1
-            if i % args.every == 0:
-                float(jax.device_get(losses[-1]))
-                losses.clear()
-                r = rss_mb()
-                base = base or r
-                print(f"{i:6d} rss {r:9.1f} MB (+{r-base:8.1f})", flush=True)
+        remaining = args.steps
+        chunk = args.reset_every or args.steps
+        while remaining > 0:
+            n = min(chunk, remaining)
+            remaining -= n
+            for batch in prefetch(gen(n), transfer=jax.device_put):
+                state, metrics = step(state, batch, key)
+                losses.append(metrics["loss"])
+                i += 1
+                if i % args.every == 0:
+                    float(jax.device_get(losses[-1]))
+                    losses.clear()
+                    r = rss_mb()
+                    base = base or r
+                    print(f"{i:6d} rss {r:9.1f} MB (+{r-base:8.1f})",
+                          flush=True)
+            if args.reset_every and remaining > 0:
+                if losses:
+                    float(jax.device_get(losses[-1]))
+                    losses.clear()
+                state, key = reset_transfer_journal((state, key))
     print(f"done in {time.time()-t0:.0f}s; final rss {rss_mb():.1f} MB",
           flush=True)
     return 0
