@@ -72,6 +72,15 @@ def cmd_corpus(args) -> int:
                 os.makedirs(d, exist_ok=True)
                 np.savez_compressed(os.path.join(d, name + ".npz"),
                                     feature=feat, **labels)
+            if args.refs and split in ("valid", "test"):
+                # mir_eval-compatible reference txts for external tooling
+                # (EXE-CORPUS-MAESTRO.sh:43-45 runs conv_note2ref.py for the
+                # valid and test splits only)
+                from nylon_amt_tpu.labels.note2ref import write_note_refs
+
+                d = os.path.join(args.out, "ref")
+                os.makedirs(d, exist_ok=True)
+                write_note_refs(notes, os.path.join(d, name))
             pieces.append((feat, labels))
         if pieces and not args.per_file:
             build_corpus_split(config, pieces, args.out, split,
@@ -441,6 +450,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--offset-duration-tolerance", action="store_true")
     c.add_argument("--per-file", action="store_true",
                    help="write per-piece archives instead of split arrays")
+    c.add_argument("--refs", action="store_true",
+                   help="also write mir_eval reference txts for valid/test "
+                        "(conv_note2ref.py equivalents) under OUT/ref/")
     c.set_defaults(fn=cmd_corpus)
 
     t = sub.add_parser("train", help="train the hFT model")

@@ -107,6 +107,26 @@ def test_transcribe_requires_input(workdir):
     assert rc == 2
 
 
+def test_corpus_refs_writes_mir_eval_txts(workdir, tmp_path):
+    """--refs emits the conv_note2ref.py reference txts for valid/test
+    (EXE-CORPUS-MAESTRO.sh:43-45), and none for train."""
+    corpus = tmp_path / "corpus_refs"
+    rc = main(["corpus", "--config", str(workdir / "config.json"),
+               "--lists", str(workdir / "lists"), "--out", str(corpus),
+               "--refs"])
+    assert rc == 0
+    ref = corpus / "ref"
+    for stem in ("te0", "te1", "va0"):
+        for suffix in (".txt", "_velocity.txt", "_mpe_16ms.txt",
+                       "_mpe_10ms.txt"):
+            assert (ref / f"{stem}{suffix}").exists(), f"{stem}{suffix}"
+    assert not (ref / "tr0.txt").exists()
+    # interval file: onset \t offset \t pitch-Hz (one 60=C4 note at 0.1-1.0)
+    rows = np.loadtxt(ref / "te0.txt").reshape(-1, 3)
+    assert rows.shape[0] == 1
+    assert np.allclose(rows[0], [0.1, 1.0, 261.625565], atol=1e-4)
+
+
 def test_train_valid_test_records_test_loss(workdir, tmp_path):
     """--valid-test appends the test-split loss each (epoch, div)
     (reference m_training_ablation.py -valid_test)."""
