@@ -168,14 +168,17 @@ def cmd_train(args) -> int:
 
             params = load_params(args.init_from, args.init_epoch,
                                  args.init_div)
-        def shapes(tree):  # container-type-agnostic (dict vs FrozenDict)
-            return {jax.tree_util.keystr(k): v.shape for k, v in
-                    jax.tree_util.tree_flatten_with_path(tree)[0]}
+        # Subset warm start: the checkpoint may lack heads this config adds
+        # (e.g. a piano checkpoint into a tab_head guitar model) — shared
+        # parameters load, new heads keep their fresh init.
+        from nylon_amt_tpu.train.checkpoint import merge_params
 
-        if shapes(state.params) != shapes(params):
+        try:
+            params = merge_params(state.params, params)
+        except (KeyError, ValueError) as e:
             raise SystemExit(
                 f"--init-from {args.init_from}: parameter tree does not "
-                "match this config's architecture")
+                f"match this config's architecture ({e})")
         state = state.replace(params=params)
 
     trainer = Trainer(config, args.out, mesh=mesh)
@@ -270,9 +273,16 @@ def cmd_transcribe(args) -> int:
         with open(os.path.join(out_dir, stem + ".notes.json"), "w") as f:
             json.dump(notes, f, indent=2)
         if args.tab:
-            from nylon_amt_tpu.infer.tab import write_alphatex
+            from nylon_amt_tpu.infer.tab import annotate_strings, write_alphatex
 
-            write_alphatex(notes, os.path.join(out_dir, stem + ".alphatex"),
+            tab_notes = notes
+            if "string_B" in post:
+                # Learned tab head (ModelConfig.tab_head): use the model's
+                # string predictions; infeasible cells fall back to the
+                # greedy assignment inside write_alphatex.
+                tab_notes = annotate_strings(notes, post["string_B"], config)
+            write_alphatex(tab_notes,
+                           os.path.join(out_dir, stem + ".alphatex"),
                            title=stem)
         if args.sheet:
             from nylon_amt_tpu.infer.sheet import write_musicxml

@@ -125,6 +125,15 @@ class ModelConfig:
     # rewrite's gradient_checkpointing flag (ref_model_spec2midi.py:82-91):
     # trades MXU recompute for HBM residency.
     remat: bool = False
+    # Learned string/fret tablature head (the reference repo's declared end
+    # goal: classical-guitar transcription to Alphatab tablature —
+    # reference README.md:27-37; BASELINE config 3 "string+fret tab head").
+    # Adds fc_string_time on the stage-2 features: per (frame, pitch) cell,
+    # n_strings+1 class logits (0 = no string, 1..n = string index, 1 = the
+    # highest-pitched string). Off by default; piano checkpoints are
+    # unaffected. The fret follows from (pitch, string, tuning) at export.
+    tab_head: bool = False
+    n_strings: int = 6
 
     @classmethod
     def paper_scale(cls) -> "ModelConfig":
@@ -134,6 +143,12 @@ class ModelConfig:
     def validate(self) -> None:
         if self.hid_dim % self.enc_head or self.hid_dim % self.dec_head:
             raise ValueError("hid_dim must be divisible by head counts")
+        if self.tab_head:
+            if self.dec_alg != "cafreq_satime":
+                raise ValueError("tab_head requires the main two-stage "
+                                 "decoder (dec_alg='cafreq_satime')")
+            if self.n_strings < 1:
+                raise ValueError("tab_head requires n_strings >= 1")
 
 
 @dataclass(frozen=True)

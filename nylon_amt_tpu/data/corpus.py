@@ -33,7 +33,7 @@ from nylon_amt_tpu.config import Config
 
 LABEL_KEYS = ("onset", "offset", "mpe", "velocity")
 _DTYPES = {"feature": np.float32, "onset": np.float32, "offset": np.float32,
-           "mpe": bool, "velocity": np.int8}
+           "mpe": bool, "velocity": np.int8, "string": np.int8}
 
 
 @dataclass
@@ -44,6 +44,10 @@ class SplitArrays:
     mpe: np.ndarray             # [total, num_note] bool
     velocity: np.ndarray        # [total, num_note] int8
     idx: np.ndarray             # [n_windows] int64 window-start offsets
+    # Optional tablature-head targets (ModelConfig.tab_head): 1-based string
+    # index at onset cells, 0 elsewhere. None for corpora without string
+    # annotations (piano).
+    string: np.ndarray | None = None
 
     def save(self, directory: str, split: str, shard: int | None = None) -> None:
         os.makedirs(directory, exist_ok=True)
@@ -51,6 +55,9 @@ class SplitArrays:
         for name in ("feature", *LABEL_KEYS, "idx"):
             np.save(os.path.join(directory, f"{split}_{name}{suffix}.npy"),
                     getattr(self, name))
+        if self.string is not None:
+            np.save(os.path.join(directory, f"{split}_string{suffix}.npy"),
+                    self.string)
 
     @classmethod
     def load(cls, directory: str, split: str, shard: int | None = None,
@@ -62,6 +69,9 @@ class SplitArrays:
                           mmap_mode=mode)
             for name in ("feature", *LABEL_KEYS, "idx")
         }
+        str_path = os.path.join(directory, f"{split}_string{suffix}.npy")
+        if os.path.exists(str_path):
+            arrays["string"] = np.load(str_path, mmap_mode=mode)
         return cls(**arrays)
 
 
@@ -80,9 +90,11 @@ def assemble_split(
                   for f, l in zip(features, labels)]
     total = inp.margin_b + sum(n + gap for n in num_frames)
 
+    keys = LABEL_KEYS + (("string",) if labels
+                         and all("string" in l for l in labels) else ())
     feat = np.full((total, config.feature.mel_bins), pad, dtype=np.float32)
     lab = {k: np.zeros((total, config.midi.num_note), dtype=_DTYPES[k])
-           for k in LABEL_KEYS}
+           for k in keys}
     idx = np.zeros(sum(num_frames), dtype=np.int64)
 
     loc_d = inp.margin_b
@@ -92,7 +104,7 @@ def assemble_split(
         if normalize:
             x = (x - inp.min_value) / (inp.max_value - inp.min_value)
         feat[loc_d : loc_d + x.shape[0]] = x
-        for k in LABEL_KEYS:
+        for k in keys:
             arr = np.asarray(l[k])
             lab[k][loc_d : loc_d + arr.shape[0]] = arr
         idx[loc_i : loc_i + n] = np.arange(loc_d, loc_d + n)

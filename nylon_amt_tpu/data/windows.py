@@ -44,13 +44,17 @@ class WindowDataset:
         l_idx = starts[:, None] + np.arange(inp.num_frame)
 
         spec = np.asarray(self.arrays.feature)[f_idx]          # [B, 192, bins]
-        return {
+        batch = {
             "spec": np.ascontiguousarray(spec.transpose(0, 2, 1)),
             "onset": np.asarray(self.arrays.onset)[l_idx],
             "offset": np.asarray(self.arrays.offset)[l_idx],
             "mpe": np.asarray(self.arrays.mpe)[l_idx].astype(np.float32),
             "velocity": np.asarray(self.arrays.velocity)[l_idx].astype(np.int32),
         }
+        if self.arrays.string is not None:   # tablature-head targets
+            batch["string"] = np.asarray(
+                self.arrays.string)[l_idx].astype(np.int32)
+        return batch
 
     def batches(
         self,

@@ -220,6 +220,10 @@ def forward(params: Any, spec: jax.Array, config: Config, *,
         "velocity_B": head_t("fc_velocity_time")
         .reshape(B, n_note, n_frame, n_vel).transpose(0, 2, 1, 3),
     })
+    if "fc_string_time" in dec_p:        # ModelConfig.tab_head
+        out["string_B"] = (head_t("fc_string_time")
+                           .reshape(B, n_note, n_frame, -1)
+                           .transpose(0, 2, 1, 3))
     return out
 
 

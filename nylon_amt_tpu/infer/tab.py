@@ -39,6 +39,30 @@ class TabResult:
     n_clamped: int = 0
 
 
+def annotate_strings(notes: list[dict], string_grid, config) -> list[dict]:
+    """Attach the tab head's predicted string to decoded note events.
+
+    ``string_grid [T, num_note] int`` is the argmax of the model's
+    ``string_B`` logits (``Transcriber.transcript()["string_B"]`` —
+    ModelConfig.tab_head). Each note gets ``note["string"]`` from the grid
+    cell at its onset frame; a 0 ("no string") prediction leaves the note
+    unannotated, falling back to :func:`assign_strings`' greedy rule.
+    Returns new note dicts; the inputs are not mutated.
+    """
+    fps = config.feature.frames_per_sec
+    note_min = config.midi.note_min
+    T = string_grid.shape[0]
+    out = []
+    for n in notes:
+        n = dict(n)
+        frame = min(max(int(n["onset"] * fps + 0.5), 0), T - 1)
+        pred = int(string_grid[frame, n["pitch"] - note_min])
+        if pred > 0:
+            n["string"] = pred
+        out.append(n)
+    return out
+
+
 def assign_strings(
     notes: list[dict],
     tuning: tuple[int, ...] = STANDARD_TUNING,
@@ -50,6 +74,11 @@ def assign_strings(
     Notes within ``chord_window`` seconds are treated as one chord; strings
     are allocated to the chord top-down (highest pitch gets the highest
     feasible string), greedily minimizing frets.
+
+    A note carrying a ``"string"`` key (the tab head's prediction — see
+    :func:`annotate_strings`) keeps it whenever it is playable (fret in
+    range, string free within the chord); infeasible or missing predictions
+    fall back to the greedy rule.
     """
     result = TabResult()
     events = sorted(notes, key=lambda n: (n["onset"], -n["pitch"]))
@@ -73,13 +102,19 @@ def assign_strings(
                 pitch -= 12
                 clamped = True
             best = None
-            for s, open_pitch in enumerate(tuning, start=1):
-                if s in used:
-                    continue
-                fret = pitch - open_pitch
-                if 0 <= fret <= max_fret:
-                    if best is None or fret < best[1]:
-                        best = (s, fret)
+            pred = n.get("string")
+            if (isinstance(pred, int) and 1 <= pred <= len(tuning)
+                    and pred not in used
+                    and 0 <= pitch - tuning[pred - 1] <= max_fret):
+                best = (pred, pitch - tuning[pred - 1])
+            if best is None:
+                for s, open_pitch in enumerate(tuning, start=1):
+                    if s in used:
+                        continue
+                    fret = pitch - open_pitch
+                    if 0 <= fret <= max_fret:
+                        if best is None or fret < best[1]:
+                            best = (s, fret)
             if best is None:  # all strings busy: drop to any free string
                 for s, open_pitch in enumerate(tuning, start=1):
                     if s not in used and 0 <= pitch - open_pitch:

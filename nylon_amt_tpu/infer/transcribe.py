@@ -148,6 +148,9 @@ class Transcriber:
             post[f"mpe_{fam}"] = jax.nn.sigmoid(out[f"mpe_{fam}"])
             post[f"velocity_{fam}"] = jnp.argmax(
                 out[f"velocity_{fam}"], axis=-1).astype(jnp.int8)
+        if "string_B" in out:            # tablature head (ModelConfig.tab_head)
+            post["string_B"] = jnp.argmax(
+                out["string_B"], axis=-1).astype(jnp.int8)
         return post
 
     def _windows(self, feature: np.ndarray, starts: np.ndarray) -> np.ndarray:
@@ -205,6 +208,9 @@ class Transcriber:
                 # [N, num_frame, n_note] -> [N*num_frame, n_note]
                 arr = post[f"{key}_{fam}"].reshape(-1, cfg.midi.num_note)
                 result[f"{key}_{fam}"] = arr
+        if "string_B" in post and "B" in fams:
+            result["string_B"] = post["string_B"].reshape(
+                -1, cfg.midi.num_note)
         return result
 
     def transcript_stride(self, feature: np.ndarray, n_offset: int,
@@ -234,6 +240,9 @@ class Transcriber:
                 arr = post[f"{key}_{fam}"][:, n_offset : n_offset + half, :]
                 result[f"{key}_{fam}"] = arr.reshape(-1, cfg.midi.num_note)[
                     : T + len_s]
+        if "string_B" in post and "B" in fams:
+            arr = post["string_B"][:, n_offset : n_offset + half, :]
+            result["string_B"] = arr.reshape(-1, cfg.midi.num_note)[: T + len_s]
         return result
 
     # -- decode + emit ---------------------------------------------------------

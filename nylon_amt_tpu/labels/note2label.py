@@ -34,11 +34,17 @@ def note2label(
     notes: list[dict],
     offset_duration_tolerance_flag: bool = False,
     nframe: int | None = None,
+    strings: bool = False,
 ) -> dict[str, np.ndarray]:
     """Rasterize note events into the four label matrices.
 
     Returns ``{'mpe': bool [nframe, 88], 'onset': f32, 'offset': f32,
     'velocity': int8}``.
+
+    ``strings=True`` adds a ``'string'`` int8 matrix for the tablature head
+    (no reference analog — ModelConfig.tab_head): the note's 1-based string
+    index written at the same cells as velocity (0 = no string); notes
+    without a ``"string"`` key contribute 0.
     """
     if hasattr(config, "midi"):
         note_min, note_max = config.midi.note_min, config.midi.note_max
@@ -62,6 +68,7 @@ def note2label(
     a_onset = np.zeros((nframe, num_note), dtype=np.float32)
     a_offset = np.zeros((nframe, num_note), dtype=np.float32)
     a_velocity = np.zeros((nframe, num_note), dtype=np.int8)
+    a_string = np.zeros((nframe, num_note), dtype=np.int8) if strings else None
 
     # Same-pitch onset-time lookup for the offset-suppression rule (replaces
     # the reference's O(n^2) scan; float-equality semantics preserved).
@@ -95,15 +102,20 @@ def note2label(
         frames = onset_frame + j_all
         valid = (frames >= 0) & (frames < nframe)
         right = j_all >= 0
+        string = int(note.get("string", 0)) if strings else 0
         # Right side first (matches reference ordering :54-61).
         for f, v in zip(frames[valid & right], vals[valid & right]):
             a_onset[f, pitch] = max(a_onset[f, pitch], v)
             if a_onset[f, pitch] >= 0.5:
                 a_velocity[f, pitch] = note["velocity"]
+                if strings:
+                    a_string[f, pitch] = string
         for f, v in zip(frames[valid & ~right], vals[valid & ~right]):
             a_onset[f, pitch] = max(a_onset[f, pitch], v)
             if a_onset[f, pitch] >= 0.5 and a_velocity[f, pitch] == 0:
                 a_velocity[f, pitch] = note["velocity"]
+                if strings:
+                    a_string[f, pitch] = string
 
         # -- mpe roll ------------------------------------------------------
         lo = max(0, onset_frame)
@@ -125,5 +137,8 @@ def note2label(
         f, v = frames[valid], vals[valid]
         np.maximum.at(a_offset[:, pitch], f, v)
 
-    return {"mpe": a_mpe, "onset": a_onset, "offset": a_offset,
-            "velocity": a_velocity}
+    out = {"mpe": a_mpe, "onset": a_onset, "offset": a_offset,
+           "velocity": a_velocity}
+    if strings:
+        out["string"] = a_string
+    return out

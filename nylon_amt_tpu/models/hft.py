@@ -391,6 +391,10 @@ class Decoder(nn.Module):
     impl: str = "xla"
     return_attention: bool = True
     stage2: bool = True  # False = stage-1 only ("cafreq" ablation decoder)
+    # >0 adds the string/fret tablature head on the stage-2 features:
+    # ``string_B [B, n_frame, n_note, n_strings+1]`` class logits
+    # (0 = no string; see ModelConfig.tab_head).
+    n_strings: int = 0
 
     @nn.compact
     def __call__(self, enc_spec, deterministic: bool = True):
@@ -465,6 +469,11 @@ class Decoder(nn.Module):
                 .reshape(B, self.n_note, self.n_frame, self.n_velocity)
                 .transpose(0, 2, 1, 3),
         })
+        if self.n_strings:
+            out["string_B"] = (
+                head("fc_string_time", self.n_strings + 1)(t)
+                .reshape(B, self.n_note, self.n_frame, self.n_strings + 1)
+                .transpose(0, 2, 1, 3))
         return out
 
 
@@ -503,6 +512,7 @@ class HFT(nn.Module):
             hid_dim=m.hid_dim, n_layers=m.dec_layer, n_heads=m.dec_head,
             pf_dim=m.pf_dim, dropout=m.dropout, dtype=dt, impl=impl,
             return_attention=m.return_attention or impl == "xla",
+            n_strings=m.n_strings if m.tab_head else 0,
             name="decoder")(enc, deterministic)
 
 

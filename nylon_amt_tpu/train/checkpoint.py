@@ -140,6 +140,34 @@ class CheckpointManager:
                               ignore_errors=True)
 
 
+def merge_params(fresh: Any, loaded: Any) -> Any:
+    """Overlay ``loaded`` onto ``fresh``, keeping fresh leaves for subtrees
+    ``loaded`` lacks.
+
+    The warm-start merge for architectures that EXTEND a pretrained one —
+    e.g. fine-tuning a tab-head guitar model (``ModelConfig.tab_head``) from
+    a piano checkpoint: every shared parameter comes from the checkpoint,
+    the new head keeps its fresh initialization. Raises ``KeyError`` on
+    loaded keys absent from ``fresh`` and ``ValueError`` on leaf shape
+    mismatches (a genuinely different architecture should fail loudly).
+    """
+    from collections.abc import Mapping
+
+    if not isinstance(loaded, Mapping) or not isinstance(fresh, Mapping):
+        f = np.asarray(fresh)
+        l_arr = np.asarray(loaded)
+        if f.shape != l_arr.shape:
+            raise ValueError(f"shape mismatch: checkpoint {l_arr.shape} vs "
+                             f"model {f.shape}")
+        return loaded
+    extra = set(loaded) - set(fresh)
+    if extra:
+        raise KeyError(f"checkpoint has parameters the model lacks: "
+                       f"{sorted(extra)[:5]}")
+    return {k: merge_params(fresh[k], loaded[k]) if k in loaded else fresh[k]
+            for k in fresh}
+
+
 def load_params(directory: str, epoch: int | None = None,
                 div: int | None = None) -> Any:
     """Load just the params tree for inference.

@@ -236,6 +236,12 @@ def export_state_dict(
                    for kp, _ in
                    jax.tree_util.tree_flatten_with_path(batch_stats)[0]}
     unexported = leaves - used
+    # The tablature head (ModelConfig.tab_head) has no reference analog:
+    # the torch Model_SPEC2MIDI cannot carry it, so it is dropped from the
+    # export by design rather than erroring (everything the reference can
+    # represent still round-trips).
+    unexported = {p for p in unexported
+                  if "/fc_string_time/" not in p + "/"}
     if unexported:
         raise KeyError(f"params leaves not covered by the export rules "
                        f"(architecture mismatch?): {sorted(unexported)[:5]}")

@@ -135,6 +135,14 @@ def loss_fn(
         totals[fam] = l_on + l_off + l_mpe + l_vel
         metrics.update({f"loss_onset_{fam}": l_on, f"loss_offset_{fam}": l_off,
                         f"loss_mpe_{fam}": l_mpe, f"loss_velocity_{fam}": l_vel})
+        # Tab head (ModelConfig.tab_head): string-class CE over the same
+        # time-pitch grid, velocity-style (class 0 dominates off-onset cells).
+        # Trained only when the batch carries string labels — a tab-head
+        # model fine-tuning on unannotated (piano) data skips the term.
+        if f"string_{fam}" in out and "string" in batch:
+            l_str = ce(out[f"string_{fam}"], batch["string"])
+            totals[fam] = totals[fam] + l_str
+            metrics[f"loss_string_{fam}"] = l_str
 
     loss = config.train.weight_A * totals["A"]
     if "B" in totals:

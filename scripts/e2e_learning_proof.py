@@ -66,6 +66,11 @@ def main():
     ap.add_argument("--patience", type=int, default=10_000,
                     help="plateau-scheduler patience (epochs); the default "
                          "effectively disables lr decay")
+    ap.add_argument("--plateau-factor", type=float, default=0.1,
+                    help="plateau lr-decay factor (torch default 0.1; 0.5 "
+                         "gives the gentle staircase that stabilizes the "
+                         "constant-lr 1e-3 recipe, whose train loss climbs "
+                         "again after ~15 epochs at 96 pieces)")
     ap.add_argument("--attention-impl", default="auto",
                     choices=["auto", "pallas", "xla"],
                     help="'xla' forces the flax/autodiff training path "
@@ -101,7 +106,8 @@ def main():
         # can kill the lr while onset learning is still mid-breakout
         train=TrainConfig(epochs=args.epochs, batch_size=8, lr=args.lr,
                           n_slice=args.n_slice,
-                          plateau_patience=args.patience),
+                          plateau_patience=args.patience,
+                          plateau_factor=args.plateau_factor),
     )
     fused = (fused_train.supports(cfg) and on_tpu()
              and resolve_attention_impl(cfg.model.attention_impl) == "pallas")
