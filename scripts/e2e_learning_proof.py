@@ -76,10 +76,18 @@ def main():
                     help="'xla' forces the flax/autodiff training path "
                          "(reference semantics, nn.Dropout) — the A/B "
                          "control for the fused custom-VJP kernels")
+    ap.add_argument("--n-notes", type=int, default=40,
+                    help="notes per synthetic piece (40 fills only ~13 s of "
+                         "a 20 s piece; 64 fills it, denser supervision per "
+                         "corpus frame)")
     ap.add_argument("--out", default="/tmp/nylon_e2e_proof")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the newest checkpoint in --out "
                          "(crash recovery for interrupted proof runs)")
+    ap.add_argument("--init-from", default=None,
+                    help="warm-start params from this checkpoint dir's best "
+                         "(fresh optimizer/scheduler — scaling up the "
+                         "corpus without retraining from scratch)")
     args = ap.parse_args()
 
     import jax
@@ -120,13 +128,14 @@ def main():
     t0 = time.time()
     train_pieces, valid_pieces = [], []
     for i in range(args.pieces + 2):
-        wav, notes = synth_piece(rng, dur=args.dur)
+        wav, notes = synth_piece(rng, dur=args.dur, n_notes=args.n_notes)
         feat = np.asarray(frontend(wav))
         labels = note2label(cfg, notes, nframe=feat.shape[0])
         (train_pieces if i < args.pieces else valid_pieces).append(
             (feat, labels))
     # held-out test piece
-    test_wav, test_notes = synth_piece(rng, dur=args.dur)
+    test_wav, test_notes = synth_piece(rng, dur=args.dur,
+                                       n_notes=args.n_notes)
     print(f"corpus built in {time.time() - t0:.0f}s", flush=True)
 
     train_arrays = assemble_split(cfg, *zip(*train_pieces))
@@ -136,9 +145,24 @@ def main():
         arrays = train_arrays if split == "train" else valid_arrays
         return WindowDataset(arrays, cfg, n_slice=cfg.train.n_slice)
 
+    state = None
+    if args.init_from:
+        from nylon_amt_tpu.train.checkpoint import load_params, merge_params
+        from nylon_amt_tpu.train.step import create_train_state
+
+        init_dir = args.init_from
+        if os.path.isdir(os.path.join(init_dir, "checkpoints")):
+            init_dir = os.path.join(init_dir, "checkpoints")
+        state = create_train_state(cfg, jax.random.key(cfg.train.seed),
+                                   batch_size=cfg.train.batch_size)
+        state = state.replace(
+            params=merge_params(state.params, load_params(init_dir)))
+        print(f"warm start from {init_dir}", flush=True)
+
     trainer = Trainer(cfg, args.out)
     t0 = time.time()
-    state = trainer.fit(provider, resume="auto" if args.resume else None)
+    state = trainer.fit(provider, state=state,
+                        resume="auto" if args.resume else None)
     print(f"training took {time.time() - t0:.0f}s; "
           f"losses {trainer.performance['loss_train'][:2]} ... "
           f"{trainer.performance['loss_train'][-2:]}", flush=True)
