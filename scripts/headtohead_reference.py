@@ -90,6 +90,10 @@ def main() -> int:
     ap.add_argument("--pieces", type=int, default=16)
     ap.add_argument("--dur", type=float, default=20.0)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--n-notes", type=int, default=40,
+                    help="notes per piece; match the proof run whose "
+                         "checkpoint --out/--resume points at")
+    ap.add_argument("--n-slice", type=int, default=4)
     ap.add_argument("--out", default="/tmp/nylon_headtohead")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cpu", action="store_true",
@@ -125,7 +129,7 @@ def main() -> int:
                           enc_head=2, dec_head=2, dropout=0.1,
                           compute_dtype="bfloat16"),
         train=TrainConfig(epochs=args.epochs, batch_size=8, lr=args.lr,
-                          n_slice=4, plateau_patience=10_000),
+                          n_slice=args.n_slice, plateau_patience=10_000),
     )
     rng = np.random.default_rng(42)
     frontend = MelFrontend(cfg.feature)
@@ -133,12 +137,13 @@ def main() -> int:
     t0 = time.time()
     train_pieces, valid_pieces = [], []
     for i in range(args.pieces + 2):
-        wav, notes = synth_piece(rng, dur=args.dur)
+        wav, notes = synth_piece(rng, dur=args.dur, n_notes=args.n_notes)
         feat = np.asarray(frontend(wav))
         labels = note2label(cfg, notes, nframe=feat.shape[0])
         (train_pieces if i < args.pieces else valid_pieces).append(
             (feat, labels))
-    test_wav, test_notes = synth_piece(rng, dur=args.dur)
+    test_wav, test_notes = synth_piece(rng, dur=args.dur,
+                                       n_notes=args.n_notes)
     print(f"corpus built in {time.time() - t0:.0f}s", flush=True)
 
     train_arrays = assemble_split(cfg, *zip(*train_pieces))
