@@ -1,11 +1,23 @@
-"""Score a saved checkpoint from the e2e proof run against the held-out
-synthetic piece (regenerated deterministically with the proof's seed)."""
+"""Score saved checkpoints from an e2e proof run against the held-out
+synthetic piece (regenerated deterministically with the proof's seed).
+
+Supports scoring one checkpoint (``--epoch N``), the best-valid-loss
+checkpoint (default), or every checkpoint in the directory (``--all``) to
+locate the best-F1 epoch — valid *loss* and note F1 do not always peak at
+the same epoch, and the proof's pass gate accepts the best of either.
+
+Decode thresholds (``--thred-onset`` etc.) are the reference's own
+``mpe2note`` inference knobs (``amt.py:179-213`` threshold arguments); to
+pick them without touching the test piece, score the held-out *valid*
+pieces instead (``--piece valid0``).
+"""
 
 from __future__ import annotations
 
 import argparse
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -20,8 +32,20 @@ def main():
     ap.add_argument("--ckpt-dir", default="/tmp/nylon_e2e_proof/checkpoints")
     ap.add_argument("--epoch", type=int, default=None)
     ap.add_argument("--div", type=int, default=None)
-    ap.add_argument("--pieces", type=int, default=16)
+    ap.add_argument("--all", action="store_true",
+                    help="score every checkpoint in --ckpt-dir")
+    ap.add_argument("--pieces", type=int, default=16,
+                    help="must match the proof run (burns the same RNG draws)")
+    ap.add_argument("--n-notes", type=int, default=40,
+                    help="must match the proof run's --n-notes")
     ap.add_argument("--dur", type=float, default=20.0)
+    ap.add_argument("--piece", default="test",
+                    choices=["test", "valid0", "valid1"],
+                    help="which held-out piece to score (valid* for "
+                         "threshold selection without touching the test set)")
+    ap.add_argument("--thred-onset", type=float, default=0.5)
+    ap.add_argument("--thred-offset", type=float, default=0.5)
+    ap.add_argument("--thred-mpe", type=float, default=0.5)
     args = ap.parse_args()
 
     from scripts.e2e_learning_proof import synth_piece
@@ -37,25 +61,50 @@ def main():
                           compute_dtype="bfloat16"),
         train=TrainConfig(epochs=60, batch_size=8, lr=1e-3, n_slice=4))
     rng = np.random.default_rng(42)
-    # burn the same draws as the proof: pieces+2 corpus pieces, then test
-    for _ in range(args.pieces + 2):
-        synth_piece(rng, dur=args.dur)
-    test_wav, test_notes = synth_piece(rng, dur=args.dur)
+    # burn the same draws as the proof: pieces train + 2 valid, then test
+    picked = None
+    for i in range(args.pieces + 2):
+        wav, notes = synth_piece(rng, dur=args.dur, n_notes=args.n_notes)
+        if args.piece == f"valid{i - args.pieces}":
+            picked = (wav, notes)
+    test = synth_piece(rng, dur=args.dur, n_notes=args.n_notes)
+    wav, ref_notes = picked if picked is not None else test
 
-    params = load_params(args.ckpt_dir, args.epoch, args.div)
     frontend = MelFrontend(cfg.feature)
-    feat = np.asarray(frontend(test_wav))
-    tr = Transcriber(cfg, params=params, batch_windows=8)
-    post = tr.transcript(feat)
-    notes = tr.mpe2note(post["onset_B"], post["offset_B"], post["mpe_B"],
-                        post["velocity_B"], mode_velocity="org")
-    scores = score_notes(test_notes, notes, with_velocity=False)
-    print(json.dumps({
-        "epoch": args.epoch, "est": len(notes), "ref": len(test_notes),
-        "f1_no_offset": scores["F-measure_no_offset"],
-        "precision": scores["Precision_no_offset"],
-        "recall": scores["Recall_no_offset"]}, indent=2))
+    feat = np.asarray(frontend(wav))
+
+    def score_one(epoch, div):
+        params = load_params(args.ckpt_dir, epoch, div)
+        tr = Transcriber(cfg, params=params, batch_windows=8)
+        post = tr.transcript(feat)
+        notes = tr.mpe2note(post["onset_B"], post["offset_B"],
+                            post["mpe_B"], post["velocity_B"],
+                            thred_onset=args.thred_onset,
+                            thred_offset=args.thred_offset,
+                            thred_mpe=args.thred_mpe,
+                            mode_velocity="org")
+        s = score_notes(ref_notes, notes, with_velocity=False)
+        return {"epoch": epoch, "div": div, "est": len(notes),
+                "ref": len(ref_notes),
+                "f1_no_offset": round(s["F-measure_no_offset"], 4),
+                "precision": round(s["Precision_no_offset"], 4),
+                "recall": round(s["Recall_no_offset"], 4)}
+
+    if args.all:
+        tags = sorted(
+            (int(m.group(1)), int(m.group(2)))
+            for d in os.listdir(args.ckpt_dir)
+            if (m := re.fullmatch(r"model_(\d+)_(\d+)", d)))
+        results = []
+        for epoch, div in tags:
+            r = score_one(epoch, div)
+            results.append(r)
+            print(json.dumps(r), flush=True)
+        best = max(results, key=lambda r: r["f1_no_offset"])
+        print(json.dumps({"best": best}, indent=2))
+    else:
+        print(json.dumps(score_one(args.epoch, args.div), indent=2))
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
