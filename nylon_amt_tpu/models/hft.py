@@ -243,7 +243,9 @@ class EncoderLayer(nn.Module):
         # ONE instance, used twice. dtype pins the output to the compute
         # dtype (stats are still f32 inside flax); without it f32 params
         # promote bf16 residual streams to f32, doubling HBM traffic.
-        ln = nn.LayerNorm(name="layer_norm", dtype=self.dtype)
+        ln = nn.LayerNorm(name="layer_norm", dtype=self.dtype,
+                          epsilon=1e-5)  # torch default, not flax 1e-6
+
         drop = nn.Dropout(self.dropout)
         attn_out, _ = MultiHeadAttention(
             self.hid_dim, self.n_heads, self.dropout, self.dtype, self.impl,
@@ -268,7 +270,9 @@ class DecoderLayerZero(nn.Module):
     @nn.compact
     def __call__(self, enc_src, trg, deterministic: bool = True,
                  need_weights: bool = True):
-        ln = nn.LayerNorm(name="layer_norm", dtype=self.dtype)
+        ln = nn.LayerNorm(name="layer_norm", dtype=self.dtype,
+                          epsilon=1e-5)  # torch default, not flax 1e-6
+
         drop = nn.Dropout(self.dropout)
         attn_out, attention = MultiHeadAttention(
             self.hid_dim, self.n_heads, self.dropout, self.dtype, self.impl,
@@ -294,7 +298,9 @@ class DecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, enc_src, trg, deterministic: bool = True,
                  need_weights: bool = True):
-        ln = nn.LayerNorm(name="layer_norm", dtype=self.dtype)
+        ln = nn.LayerNorm(name="layer_norm", dtype=self.dtype,
+                          epsilon=1e-5)  # torch default, not flax 1e-6
+
         drop = nn.Dropout(self.dropout)
         sa_out, _ = MultiHeadAttention(
             self.hid_dim, self.n_heads, self.dropout, self.dtype, self.impl,

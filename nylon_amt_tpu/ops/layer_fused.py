@@ -44,7 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nylon_amt_tpu.ops.attention import _head_attention
 
-_LN_EPS = 1e-6  # flax.linen.LayerNorm default (see models/hft.py)
+_LN_EPS = 1e-5  # torch nn.LayerNorm default — the reference's eps; models/hft.py pins
+# flax LayerNorm to the same value (flax's own default 1e-6 breaks trained-net parity)
 
 
 class EncoderLayerParams(NamedTuple):

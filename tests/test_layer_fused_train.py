@@ -13,7 +13,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from nylon_amt_tpu.ops.layer_fused import EncoderLayerParams, encoder_layer
+from nylon_amt_tpu.ops.layer_fused import (_LN_EPS, EncoderLayerParams,
+                                           encoder_layer)
 from nylon_amt_tpu.ops.layer_fused_train import encoder_layer_train
 
 N, L, HID, PF, HEADS = 16, 32, 16, 32, 2
@@ -46,7 +47,7 @@ def reference_layer(x, p, n_heads):
     def ln(t):
         mu = jnp.mean(t, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(t), axis=-1, keepdims=True) - mu ** 2
-        return (t - mu) * jax.lax.rsqrt(var + 1e-6) * p.g + p.b
+        return (t - mu) * jax.lax.rsqrt(var + _LN_EPS) * p.g + p.b
 
     qkv = matmul(x, p.wqkv, p.bqkv)
     q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -133,7 +134,7 @@ def _ref_cross_tail(trg, enc, p, n_heads):
     def ln(t):
         mu = jnp.mean(t, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(t), axis=-1, keepdims=True) - mu ** 2
-        return (t - mu) * jax.lax.rsqrt(var + 1e-6) * p.g + p.b
+        return (t - mu) * jax.lax.rsqrt(var + _LN_EPS) * p.g + p.b
 
     q = matmul(trg, p.wq, p.bq)
     kv = matmul(enc, p.wkv, p.bkv)
@@ -161,7 +162,7 @@ def _ref_dec_layer(trg, enc, p, n_heads):
     def ln(t):
         mu = jnp.mean(t, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(t), axis=-1, keepdims=True) - mu ** 2
-        return (t - mu) * jax.lax.rsqrt(var + 1e-6) * p.g + p.b
+        return (t - mu) * jax.lax.rsqrt(var + _LN_EPS) * p.g + p.b
 
     qkv = matmul(trg, p.wsqkv, p.bsqkv)
     q, k, v = jnp.split(qkv, 3, axis=-1)
