@@ -244,7 +244,8 @@ class EncoderLayer(nn.Module):
         # dtype (stats are still f32 inside flax); without it f32 params
         # promote bf16 residual streams to f32, doubling HBM traffic.
         ln = nn.LayerNorm(name="layer_norm", dtype=self.dtype,
-                          epsilon=1e-5)  # torch default, not flax 1e-6
+                          epsilon=1e-5,  # torch default, not flax 1e-6
+                          use_fast_variance=False)  # torch two-pass var
 
         drop = nn.Dropout(self.dropout)
         attn_out, _ = MultiHeadAttention(
@@ -271,7 +272,8 @@ class DecoderLayerZero(nn.Module):
     def __call__(self, enc_src, trg, deterministic: bool = True,
                  need_weights: bool = True):
         ln = nn.LayerNorm(name="layer_norm", dtype=self.dtype,
-                          epsilon=1e-5)  # torch default, not flax 1e-6
+                          epsilon=1e-5,  # torch default, not flax 1e-6
+                          use_fast_variance=False)  # torch two-pass var
 
         drop = nn.Dropout(self.dropout)
         attn_out, attention = MultiHeadAttention(
@@ -299,7 +301,8 @@ class DecoderLayer(nn.Module):
     def __call__(self, enc_src, trg, deterministic: bool = True,
                  need_weights: bool = True):
         ln = nn.LayerNorm(name="layer_norm", dtype=self.dtype,
-                          epsilon=1e-5)  # torch default, not flax 1e-6
+                          epsilon=1e-5,  # torch default, not flax 1e-6
+                          use_fast_variance=False)  # torch two-pass var
 
         drop = nn.Dropout(self.dropout)
         sa_out, _ = MultiHeadAttention(

@@ -105,7 +105,10 @@ def _layer_norm(x, g, b):
     """Post-LN with f32 statistics, output in x.dtype (flax semantics)."""
     xf = x.astype(jnp.float32)
     m = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(m)
+    # two-pass variance (torch layer_norm semantics): E[x^2]-E[x]^2
+    # cancels catastrophically when |mean| >> std; x is already in
+    # VMEM so the extra pass is free
+    var = jnp.mean(jnp.square(xf - m), axis=-1, keepdims=True)
     y = (xf - m) * jax.lax.rsqrt(var + _LN_EPS)
     return (y * g + b).astype(x.dtype)
 

@@ -115,7 +115,7 @@ def _ln_fwd(x, g, b):
     """Returns (y, xhat, inv_sigma); stats in f32."""
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)  # two-pass, torch semantics
     inv = jax.lax.rsqrt(var + _LN_EPS)
     xhat = (xf - mu) * inv
     return (xhat * g + b).astype(x.dtype), xhat, inv

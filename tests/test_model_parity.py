@@ -165,3 +165,45 @@ def test_export_torch_forward_parity(rng):
                                t_on_B.numpy(), atol=2e-5)
     np.testing.assert_allclose(np.asarray(jax.nn.sigmoid(out["mpe_B"])),
                                t_mpe_B.numpy(), atol=2e-5)
+
+
+def test_layernorm_epsilon_matches_torch(rng):
+    """Pin LN eps to torch's 1e-5: flax's 1e-6 default passed every
+    random-init parity test at atol 2e-5, then amplified to ~3e-3 posterior
+    deltas on a trained checkpoint. A low-variance input makes the LN
+    eps-dominated (rsqrt(1e-5 + eps) differs 25% between the two defaults),
+    and attention/FFN output projections are zeroed so the layer reduces to
+    ln(ln(x)) — the residual path alone."""
+    import jax.numpy as jnp
+    import torch.nn.functional as F
+
+    from nylon_amt_tpu.models.hft import EncoderLayer
+    from nylon_amt_tpu.ops.layer_fused import _LN_EPS
+
+    assert _LN_EPS == torch.nn.LayerNorm(1).eps  # fused kernels' constant
+
+    hid = 8
+    layer = EncoderLayer(hid_dim=hid, n_heads=2, pf_dim=16, dropout=0.0)
+    x = (0.7 + 3e-3 * rng.standard_normal((1, 4, hid))).astype(np.float32)
+    params = layer.init(jax.random.key(0), x)["params"]
+    params = jax.tree_util.tree_map(np.asarray, params)
+    sa = params["self_attention"]
+    sa["fc_o_kernel"] = np.zeros_like(sa["fc_o_kernel"])
+    sa["fc_o_bias"] = np.zeros_like(sa["fc_o_bias"])
+    ff2 = params["positionwise_feedforward"]["fc_2"]
+    ff2["kernel"] = np.zeros_like(ff2["kernel"])
+    ff2["bias"] = np.zeros_like(ff2["bias"])
+    g = rng.standard_normal(hid).astype(np.float32)
+    b = rng.standard_normal(hid).astype(np.float32)
+    params["layer_norm"]["scale"] = g
+    params["layer_norm"]["bias"] = b
+
+    ours = np.asarray(layer.apply({"params": params}, x, deterministic=True))
+
+    xt = torch.from_numpy(x)
+    gt, bt = torch.from_numpy(g), torch.from_numpy(b)
+    ref = F.layer_norm(F.layer_norm(xt, (hid,), gt, bt), (hid,), gt, bt)
+    # atol leaves room for f32 (x - mu) cancellation on this adversarial
+    # input (~2e-5, hits torch's own f32 path too) while staying far below
+    # the signals under test: wrong eps ~0.3 abs, fast variance ~3e-3 abs.
+    np.testing.assert_allclose(ours, ref.numpy(), atol=1e-4)
