@@ -43,7 +43,11 @@ class Transcriber:
                  batch_windows: int = 8, use_engine: bool | None = None,
                  mesh=None, precision: str | None = None):
         self.config = config
-        self.params = params
+        # Place params on device once up front: load_params returns host
+        # arrays (journal-reset-safe), and feeding host leaves to the jitted
+        # batch forward would re-upload the whole tree every call (one
+        # tunnel RTT per transfer, plus journal growth).
+        self.params = None if params is None else jax.device_put(params)
         self.precision = precision
         custom_model = model is not None
         if model is None:

@@ -195,7 +195,11 @@ def load_params(directory: str, epoch: int | None = None,
                                        sharding=sharding),
         meta, is_leaf=lambda x: hasattr(x, "shape") and hasattr(x, "dtype"))
     tree = mgr._ckptr.restore(path, abstract)
-    return jax.tree_util.tree_map(jax.numpy.asarray, tree["params"])
+    # Host-resident on purpose: loaded params survive tunnel journal resets
+    # (utils/tunnel.py invalidates every pre-reset device buffer, so params
+    # loaded before a Trainer.fit would otherwise come back deleted).
+    # Consumers that run repeated forwards (Transcriber) device_put once.
+    return jax.tree_util.tree_map(np.asarray, tree["params"])
 
 
 def rng_state_to_json(rng: np.random.Generator) -> dict:

@@ -121,8 +121,15 @@ def main() -> int:
                     help="piano-trained checkpoint dir (best ckpt is used), "
                          "e.g. the e2e_learning_proof.py --out dir")
     ap.add_argument("--pieces", type=int, default=24)
+    ap.add_argument("--n-notes", type=int, default=40,
+                    help="notes per synthesized piece (denser = more onset "
+                         "examples per window; the piano proof needed 64)")
     ap.add_argument("--dur", type=float, default=20.0)
     ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--epochs-scratch", type=int, default=None,
+                    help="epoch budget for the from-scratch control "
+                         "(default: same as --epochs; set higher to "
+                         "compensate the fine-tune arm's pretraining)")
     ap.add_argument("--lr-ft", type=float, default=3e-4)
     ap.add_argument("--lr-scratch", type=float, default=1e-3)
     ap.add_argument("--n-slice", type=int, default=4)
@@ -131,6 +138,13 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/nylon_guitar_ft")
     ap.add_argument("--skip-scratch", action="store_true",
                     help="only run the fine-tune arm")
+    ap.add_argument("--skip-zero-shot", action="store_true",
+                    help="skip scoring the init checkpoint unadapted (use "
+                         "when warm-starting from a tab-head checkpoint, "
+                         "where 'piano zero-shot' is not meaningful)")
+    ap.add_argument("--corpus-cache", default="/tmp/guitar_corpus",
+                    help="directory for cached featurized corpora "
+                         "('' disables)")
     args = ap.parse_args()
 
     import jax
@@ -148,13 +162,15 @@ def main() -> int:
 
     print("backend:", jax.default_backend(), flush=True)
 
-    def cfg_with(lr: float, tab_head: bool = True) -> Config:
+    def cfg_with(lr: float, tab_head: bool = True,
+                 epochs: int | None = None) -> Config:
         return Config(
             model=ModelConfig(hid_dim=64, pf_dim=128, enc_layer=2,
                               dec_layer=2, enc_head=2, dec_head=2,
                               dropout=0.1, compute_dtype="bfloat16",
                               tab_head=tab_head),
-            train=TrainConfig(epochs=args.epochs, batch_size=8, lr=lr,
+            train=TrainConfig(epochs=epochs or args.epochs, batch_size=8,
+                              lr=lr,
                               n_slice=args.n_slice,
                               plateau_patience=args.patience,
                               plateau_factor=args.plateau_factor),
@@ -165,16 +181,34 @@ def main() -> int:
     frontend = MelFrontend(cfg.feature)
 
     t0 = time.time()
-    train_pieces, valid_pieces = [], []
-    for i in range(args.pieces + 2):
-        wav, notes = synth_guitar_piece(rng, dur=args.dur)
-        feat = np.asarray(frontend(wav))
-        labels = note2label(cfg, notes, nframe=feat.shape[0], strings=True)
-        (train_pieces if i < args.pieces else valid_pieces).append(
-            (feat, labels))
-    test_wav, test_notes = synth_guitar_piece(rng, dur=args.dur)
-    print(f"guitar corpus built in {time.time() - t0:.0f}s "
-          f"({args.pieces}+2 pieces)", flush=True)
+    cache_path = None
+    if args.corpus_cache:
+        os.makedirs(args.corpus_cache, exist_ok=True)
+        cache_path = os.path.join(
+            args.corpus_cache,
+            f"p{args.pieces}_n{args.n_notes}_d{args.dur:g}.npy")
+    if cache_path and os.path.exists(cache_path):
+        train_pieces, valid_pieces, test_wav, test_notes = np.load(
+            cache_path, allow_pickle=True)
+        print(f"guitar corpus loaded from cache {cache_path}", flush=True)
+    else:
+        train_pieces, valid_pieces = [], []
+        for i in range(args.pieces + 2):
+            wav, notes = synth_guitar_piece(rng, dur=args.dur,
+                                            n_notes=args.n_notes)
+            feat = np.asarray(frontend(wav))
+            labels = note2label(cfg, notes, nframe=feat.shape[0],
+                                strings=True)
+            (train_pieces if i < args.pieces else valid_pieces).append(
+                (feat, labels))
+        test_wav, test_notes = synth_guitar_piece(rng, dur=args.dur,
+                                                  n_notes=args.n_notes)
+        if cache_path:
+            np.save(cache_path, np.array(
+                [train_pieces, valid_pieces, test_wav, test_notes],
+                dtype=object))
+        print(f"guitar corpus built in {time.time() - t0:.0f}s "
+              f"({args.pieces}+2 pieces)", flush=True)
 
     train_arrays = assemble_split(cfg, *zip(*train_pieces))
     valid_arrays = assemble_split(cfg, *zip(*valid_pieces))
@@ -229,8 +263,9 @@ def main() -> int:
             r["alphatex_lines"] = len(to_alphatex(annotated).splitlines())
         return r
 
-    def run(tag: str, lr: float, init_params=None) -> dict:
-        c = cfg_with(lr)
+    def run(tag: str, lr: float, init_params=None,
+            epochs: int | None = None) -> dict:
+        c = cfg_with(lr, epochs=epochs)
         out = os.path.join(args.out, tag)
         state = None
         if init_params is not None:
@@ -262,16 +297,24 @@ def main() -> int:
     init_dir = args.init_from
     if os.path.isdir(os.path.join(init_dir, "checkpoints")):
         init_dir = os.path.join(init_dir, "checkpoints")
-    piano_params = load_params(init_dir)
-    result = {"finetune": run("finetune", args.lr_ft, piano_params)}
+    piano_params = load_params(init_dir)  # host arrays: survive the
+    # Trainer's tunnel journal-reset fences
 
-    # zero-shot: the piano checkpoint on guitar audio, no adaptation (no tab
-    # head in the checkpoint, so score without one)
-    result["zero_shot"] = score(piano_params, cfg_with(args.lr_ft,
-                                                       tab_head=False))
+    result = {}
+    if not args.skip_zero_shot:
+        # zero-shot first (cheap, and the unadapted baseline doesn't depend
+        # on training): the piano checkpoint on guitar audio, no adaptation
+        # (no tab head in the checkpoint, so score without one)
+        result["zero_shot"] = score(piano_params, cfg_with(args.lr_ft,
+                                                           tab_head=False))
+        print(f"[zero-shot] f1={result['zero_shot']['f1_no_offset']:.3f}",
+              flush=True)
+
+    result["finetune"] = run("finetune", args.lr_ft, piano_params)
 
     if not args.skip_scratch:
-        result["scratch"] = run("scratch", args.lr_scratch)
+        result["scratch"] = run("scratch", args.lr_scratch,
+                                epochs=args.epochs_scratch)
 
     ft = result["finetune"]["f1"]
     sc = result.get("scratch", {}).get("f1", 0.0)

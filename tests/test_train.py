@@ -161,9 +161,12 @@ def test_load_params_ignores_saved_shardings(rng, tmp_path):
     mgr = CheckpointManager(str(tmp_path))
     mgr.save(0, 0, sharded, {"scheduler": {"lr": 1e-4}}, is_best=True)
 
-    params = load_params(str(tmp_path))  # single-device restore
+    params = load_params(str(tmp_path))
+    # Contract: host-resident numpy leaves — device-agnostic AND immune to
+    # tunnel journal resets that invalidate pre-existing device buffers
+    # (utils/tunnel.py); Transcriber device_puts once on construction.
     for leaf in jax.tree_util.tree_leaves(params):
-        assert len(leaf.devices()) == 1
+        assert isinstance(leaf, np.ndarray)
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
