@@ -53,7 +53,9 @@ from nylon_amt_tpu.config import Config, ModelConfig
 
 
 def _dtype(name: str):
-    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+    # float64 exists for oracle/test runs only (requires jax_enable_x64).
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+            "float64": jnp.float64}[name]
 
 
 def stem_effective_kernel(conv_w, conv_b, emb_w, emb_b, *, cnn_channel,
@@ -87,7 +89,9 @@ def fused_stem(spec_in, conv_w, conv_b, emb_w, emb_b, *, cnn_channel,
 
     # The stem is ~0.5% of the model FLOPs: keep it f32 end to end
     # (mixed bf16/f32 conv operands break the transposed-conv gradient).
-    x = spec_in.astype(jnp.float32)[:, None, :, :]      # [B, 1, n_bin, total]
+    # f64 compute (oracle runs) keeps the whole stem in f64.
+    acc = jnp.float64 if dtype == jnp.float64 else jnp.float32
+    x = spec_in.astype(acc)[:, None, :, :]              # [B, 1, n_bin, total]
     kernel = k_eff.T[:, None, None, :]                  # [hid, 1, 1, 65]
     emb = jax.lax.conv_general_dilated(
         x, kernel, window_strides=(1, 1), padding="VALID",
@@ -107,7 +111,7 @@ class MultiHeadAttention(nn.Module):
     * ``"xla"`` — einsum QK^T -> softmax -> PV (always returns weights);
     * ``"pallas"`` — the fused one-pass VMEM kernel
       (:mod:`nylon_amt_tpu.ops.attention`); scores never touch HBM. Weights
-      are only produced when ``need_weights`` (forward-only). Attention
+      are only produced when ``need_weights`` (differentiable). Attention
       dropout (the reference drops out the attention matrix itself —
       ``model_spec2midi.py:348``) runs in-kernel on real TPUs via the Pallas
       PRNG; the CPU interpreter falls back to the XLA path.
@@ -175,11 +179,12 @@ class MultiHeadAttention(nn.Module):
             vf = proj_flat(value, wv, bv)
             attn = None
             if need_weights:
-                out_f, attn = fused_mha_with_probs(
-                    jax.lax.stop_gradient(qf), jax.lax.stop_gradient(kf),
-                    jax.lax.stop_gradient(vf), H, scale, interpret)
-                if not deterministic:
-                    out_f = fused_mha(qf, kf, vf, H, scale, interpret)
+                # Differentiable: the probs cotangent is a symbolic zero
+                # unless a loss touches the returned maps (custom VJP in
+                # ops/attention.py), so grads through this site match the
+                # XLA path at reduction-order precision.
+                out_f, attn = fused_mha_with_probs(qf, kf, vf, H, scale,
+                                                   interpret)
             elif dropout_active:
                 seed = jax.random.randint(self.make_rng("dropout"), (),
                                           0, 2**31 - 1, dtype=jnp.int32)

@@ -263,12 +263,64 @@ def _mha_bwd(n_heads, scale, interpret, res, do):
 fused_mha.defvjp(_mha_fwd, _mha_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_mha_with_probs(q, k, v, n_heads: int, scale: float,
                          interpret: bool = False):
-    """Forward-only variant that also returns the probabilities
-    ``[N, H, Lq, Lk]`` (the model returns the last cross-attention map —
-    reference ``model_spec2midi.py:164-165``). Not differentiable."""
+    """Variant that also returns the probabilities ``[N, H, Lq, Lk]``
+    (the model returns the last cross-attention map — reference
+    ``model_spec2midi.py:164-165``).
+
+    Fully differentiable: the output's cotangent takes the same fused
+    backward kernel as :func:`fused_mha`; the probabilities' cotangent is
+    usually a symbolic zero (losses don't touch the returned maps) and then
+    costs nothing — when it is non-zero, its softmax-backward contribution
+    is added via plain XLA ops on the recomputed scores.
+    """
     return _fused_fwd(q, k, v, scale, n_heads, True, interpret)
+
+
+def _mha_probs_fwd(q, k, v, n_heads, scale, interpret):
+    q, k, v = q.value, k.value, v.value  # symbolic_zeros wraps primals
+    out, p = _fused_fwd(q, k, v, scale, n_heads, True, interpret)
+    return (out, p), (q, k, v)
+
+
+def _probs_cotangent_contribution(q, k, dp, n_heads, scale):
+    """Gradient of ``A = softmax(QK^T * scale)`` wrt q/k given ``dA`` —
+    XLA ops on the recomputed scores (only paid when a loss actually
+    differentiates through the returned attention maps)."""
+    n, lq, hid = q.shape
+    lk = k.shape[1]
+    d = hid // n_heads
+    qh = q.reshape(n, lq, n_heads, d)
+    kh = k.reshape(n, lk, n_heads, d)
+    s = jnp.einsum("nqhd,nkhd->nhqk", qh, kh,
+                   preferred_element_type=jnp.float32) * scale
+    a = jax.nn.softmax(s, axis=-1)
+    dp = dp.astype(jnp.float32)
+    row = jnp.sum(dp * a, axis=-1, keepdims=True)
+    ds = (a * (dp - row)) * scale
+    dq = jnp.einsum("nhqk,nkhd->nqhd", ds, kh.astype(jnp.float32))
+    dk = jnp.einsum("nhqk,nqhd->nkhd", ds, qh.astype(jnp.float32))
+    return (dq.reshape(n, lq, hid).astype(q.dtype),
+            dk.reshape(n, lk, hid).astype(k.dtype))
+
+
+def _mha_probs_bwd(n_heads, scale, interpret, res, cts):
+    q, k, v = res
+    do, dp = cts
+    if isinstance(do, jax.custom_derivatives.SymbolicZero):
+        dq, dk, dv = jnp.zeros_like(q), jnp.zeros_like(k), jnp.zeros_like(v)
+    else:
+        dq, dk, dv = _mha_bwd(n_heads, scale, interpret, (q, k, v), do)
+    if not isinstance(dp, jax.custom_derivatives.SymbolicZero):
+        dq2, dk2 = _probs_cotangent_contribution(q, k, dp, n_heads, scale)
+        dq, dk = dq + dq2, dk + dk2
+    return dq, dk, dv
+
+
+fused_mha_with_probs.defvjp(_mha_probs_fwd, _mha_probs_bwd,
+                            symbolic_zeros=True)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

@@ -107,7 +107,49 @@ def test_model_pallas_grads_match_xla(rng):
 
     g_x = jax.grad(loss(base))(params)
     g_p = jax.grad(loss(cfg_p))(params)
+    # Tolerance derivation: the reference quirk scales embeddings by
+    # sqrt(hid) with NO LayerNorm before the first self-attention, so with
+    # unit-normal spec input at init the freq-encoder scores span ~±450 —
+    # a saturated softmax. At those activations BOTH paths sit ~2e-3 abs
+    # from an f64 oracle on |dq|max≈244 (≈8e-6 relative; measured, see
+    # docs/pallas_grad_tolerance.md), i.e. neither is less accurate — but
+    # their FORMULATIONS differ (base-2 deferred-normalization kernel vs
+    # exp softmax), so their mutual delta does not cancel: measured
+    # 1.27e-4 on param grads with |g|max≈2.75 (4.6e-5 relative). Gate at
+    # 4x the measured delta; a real regression (wrong formula, dropped
+    # term) shows up orders of magnitude above this.
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                                atol=1e-4),
+                                                atol=5e-4),
         g_x, g_p)
+
+
+def test_model_pallas_grads_with_attention_maps(rng):
+    """Grads must flow through the need_weights site (the returned stage-1
+    cross-attention map): the fused with-probs kernel is differentiable
+    (custom VJP; a stop_gradient here once silently dropped this site)."""
+    base = Config(model=ModelConfig(hid_dim=16, pf_dim=32, enc_layer=1,
+                                    dec_layer=1, enc_head=2, dec_head=2,
+                                    dropout=0.0, attention_impl="xla",
+                                    return_attention=True))
+    spec = 0.1 * rng.standard_normal((1, 256, 192)).astype(np.float32)
+    params = HFT(config=base).init({"params": jax.random.key(0)}, spec)["params"]
+    cfg_p = dataclasses.replace(
+        base, model=dataclasses.replace(base.model, attention_impl="pallas"))
+
+    def loss(cfg, on_probs):
+        def f(p):
+            out = HFT(config=cfg).apply({"params": p}, spec)
+            if on_probs:  # differentiates the returned attention map itself
+                return jnp.mean(out["attention"] ** 2)
+            return jnp.mean(out["onset_B"] ** 2)
+        return f
+
+    for on_probs in (False, True):
+        g_x = jax.grad(loss(base, on_probs))(params)
+        g_p = jax.grad(loss(cfg_p, on_probs))(params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-5,
+                err_msg=f"on_probs={on_probs}"),
+            g_x, g_p)
