@@ -64,10 +64,14 @@ def model_forward_flops(config: Config, batch: int) -> float:
                  + m.dec_layer * t_layer + heads + stem)
 
 
-def train_throughput(iters: int = 10) -> dict:
+def train_throughput(iters: int = 5, repeats: int = 3) -> dict:
     """Training-step throughput at the reference recipe's batch size
-    (8, dropout 0.1 — ``EXE-TRAINING-MAESTRO.sh``): device-side scan of
-    full fwd+bwd+Adam steps. fwd+bwd+update ~= 3x forward FLOPs."""
+    (8, dropout 0.1 — ``EXE-TRAINING-MAESTRO.sh``): full fwd+bwd+Adam
+    production steps, ``repeats`` timed windows of ``iters`` steps each
+    (min = best-case device time, median = what a run actually sees;
+    the tunnel adds ~5% session-to-session drift — PERF.md).
+    fwd+bwd+update ~= 3x forward FLOPs (standard convention), so
+    ``train_mfu`` is directly comparable to the inference MFU."""
     from nylon_amt_tpu.config import TrainConfig
     from nylon_amt_tpu.train.step import create_train_state, make_train_step
 
@@ -95,16 +99,23 @@ def train_throughput(iters: int = 10) -> dict:
     for _ in range(2):
         state, metrics = step(state, batch, jax.random.key(2))
     float(metrics["loss"])  # fence (block_until_ready lies via the tunnel)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, batch, jax.random.key(3))
-    float(metrics["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, batch, jax.random.key(3))
+        float(metrics["loss"])
+        times.append((time.perf_counter() - t0) / iters)
+    dt, dt_med = min(times), sorted(times)[len(times) // 2]
     sec_per_window = (config.input.num_frame * config.feature.hop_sample
                       / config.feature.sr)
+    train_flops = 3.0 * model_forward_flops(config, B)
     return {"train_audio_sec_per_sec_per_chip": round(
                 B * sec_per_window / dt, 2),
-            "train_step_ms_batch8": round(dt * 1e3, 2)}
+            "train_step_ms_batch8": round(dt * 1e3, 2),
+            "train_step_ms_batch8_median": round(dt_med * 1e3, 2),
+            "train_mfu_vs_v5e_bf16_peak": round(
+                train_flops / dt / 1e12 / V5E_BF16_PEAK_TFLOPS, 3)}
 
 
 def main() -> None:
@@ -159,16 +170,22 @@ def main() -> None:
         (batch, config.feature.n_bins, config.window_frames)) * 2.0 - 8.0,
         jnp.float32)
 
-    def measure(precision):
+    def measure(precision, repeats=3):
+        """(min, median) per-forward seconds over `repeats` timed scans —
+        the spread makes tunnel drift (~5% session to session) visible so
+        a regression gate on this JSON doesn't false-fire."""
         forward_n = make_forward_n(precision)
         for _ in range(warmup):
             float(forward_n(spec))
-        t0 = time.perf_counter()
-        float(forward_n(spec))
-        return (time.perf_counter() - t0) / iters
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(forward_n(spec))
+            times.append((time.perf_counter() - t0) / iters)
+        return min(times), sorted(times)[len(times) // 2]
 
-    dt = measure(None)                       # bf16 exact-parity path
-    dt_q8 = measure("int8")                  # W8A8 quantized path
+    dt, dt_med = measure(None)               # bf16 exact-parity path
+    dt_q8, _ = measure("int8")               # W8A8 quantized path
     audio_sec_per_sec = batch * sec_per_window / dt
     flops = model_forward_flops(config, batch)
     record = {
@@ -177,6 +194,7 @@ def main() -> None:
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(audio_sec_per_sec / BASELINE_AUDIO_SEC_PER_SEC, 3),
         "ms_per_batch32_forward": round(dt * 1e3, 2),
+        "ms_per_batch32_forward_median": round(dt_med * 1e3, 2),
         "model_tflops_per_forward": round(flops / 1e12, 3),
         "mfu_vs_v5e_bf16_peak": round(flops / dt / 1e12
                                       / V5E_BF16_PEAK_TFLOPS, 3),

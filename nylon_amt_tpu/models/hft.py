@@ -547,8 +547,22 @@ def build_model(config: Config) -> HFT:
     return build_ablation_model(config)
 
 
-def init_params(config: Config, rng: jax.Array, batch_size: int = 1):
+def init_params(config: Config, rng: jax.Array, batch_size: int = 1,
+                reference_init: bool = True):
+    """From-scratch parameters.
+
+    By default the tree is resampled to match the reference's recipe
+    (``model.apply(initialize_weights)``, ``m_training.py:31-33,141`` —
+    xavier_uniform on every torch-dim>1 weight, torch-default biases); see
+    :mod:`nylon_amt_tpu.models.init`. ``reference_init=False`` keeps raw
+    flax defaults (structure-only uses).
+    """
     model = build_model(config)
     spec = jnp.zeros((batch_size, config.feature.n_bins, config.window_frames),
                      jnp.float32)
-    return model.init({"params": rng}, spec, deterministic=True)["params"]
+    params = model.init({"params": rng}, spec, deterministic=True)["params"]
+    if reference_init:
+        from nylon_amt_tpu.models.init import reference_initialize
+
+        params = reference_initialize(params, rng)
+    return params

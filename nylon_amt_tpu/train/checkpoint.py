@@ -154,11 +154,18 @@ def merge_params(fresh: Any, loaded: Any) -> Any:
     from collections.abc import Mapping
 
     if not isinstance(loaded, Mapping) or not isinstance(fresh, Mapping):
-        f = np.asarray(fresh)
-        l_arr = np.asarray(loaded)
-        if f.shape != l_arr.shape:
-            raise ValueError(f"shape mismatch: checkpoint {l_arr.shape} vs "
-                             f"model {f.shape}")
+        # Compare shapes WITHOUT materializing the leaves: np.asarray would
+        # force a device-to-host copy of every fresh param and raises on
+        # non-fully-addressable (multi-host sharded) arrays.
+        f_shape = getattr(fresh, "shape", None)
+        l_shape = getattr(loaded, "shape", None)
+        if f_shape is None:
+            f_shape = np.shape(fresh)
+        if l_shape is None:
+            l_shape = np.shape(loaded)
+        if tuple(f_shape) != tuple(l_shape):
+            raise ValueError(f"shape mismatch: checkpoint {tuple(l_shape)} "
+                             f"vs model {tuple(f_shape)}")
         return loaded
     extra = set(loaded) - set(fresh)
     if extra:

@@ -280,7 +280,12 @@ def create_train_state(config: Config, rng: jax.Array,
     spec = jnp.zeros((batch_size, config.feature.n_bins, config.window_frames),
                      jnp.float32)
     variables = model.init({"params": rng}, spec, deterministic=True)
-    params = variables["params"]
+    # From-scratch init parity: the reference applies initialize_weights
+    # (xavier_uniform on every torch-dim>1 weight; torch-default biases)
+    # before training (m_training.py:141). See models/init.py.
+    from nylon_amt_tpu.models.init import reference_initialize
+
+    params = reference_initialize(variables["params"], rng)
     tx = make_optimizer(config)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=tx.init(params), tx=tx, apply_fn=model.apply,

@@ -178,13 +178,18 @@ def main():
         # corpus scale.
         notes = tr.mpe2note(post["onset_B"], post["offset_B"], post["mpe_B"],
                             post["velocity_B"], mode_velocity="org")
-        s = score_notes(test_notes, notes, with_velocity=False)
+        s = score_notes(test_notes, notes, with_velocity=True)
         return {
             "est_notes": len(notes), "ref_notes": len(test_notes),
             "f1_no_offset": s["F-measure_no_offset"],
             "precision_no_offset": s["Precision_no_offset"],
             "recall_no_offset": s["Recall_no_offset"],
             "f1_with_offset": s["F-measure"],
+            # velocity-aware F1 (m_transcription.py:119-123 semantics):
+            # onset+pitch+velocity re-match, mir_eval tolerance 0.1.
+            "f1_velocity": s["F-measure_velocity"],
+            "precision_velocity": s["Precision_velocity"],
+            "recall_velocity": s["Recall_velocity"],
         }
 
     # Score both the final state (the reference's end-of-training test pass,

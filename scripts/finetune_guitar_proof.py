@@ -50,6 +50,8 @@ from nylon_amt_tpu.config import Config, ModelConfig, TrainConfig
 from nylon_amt_tpu.infer.tab import STANDARD_TUNING
 
 MAX_FRET = 12
+CORPUS_SEED = 7          # np.random.default_rng seed for corpus synthesis
+SYNTH_VERSION = "v2"     # bump when synth_guitar_piece/tuning change
 # Per-string physics, string 1 (high E) .. string 6 (low E): thicker strings
 # ring longer and sound darker.
 STRING_DECAY = (0.990, 0.992, 0.994, 0.9955, 0.9965, 0.9975)
@@ -177,16 +179,20 @@ def main() -> int:
         )
 
     cfg = cfg_with(args.lr_ft)
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(CORPUS_SEED)
     frontend = MelFrontend(cfg.feature)
 
     t0 = time.time()
     cache_path = None
     if args.corpus_cache:
         os.makedirs(args.corpus_cache, exist_ok=True)
+        # Key includes the RNG seed and a synthesis-version tag so a stale
+        # cache can't silently substitute an old corpus after the synth
+        # code or seed changes (round-2 advisor finding).
         cache_path = os.path.join(
             args.corpus_cache,
-            f"p{args.pieces}_n{args.n_notes}_d{args.dur:g}.npy")
+            f"p{args.pieces}_n{args.n_notes}_d{args.dur:g}"
+            f"_s{CORPUS_SEED}_{SYNTH_VERSION}.npy")
     if cache_path and os.path.exists(cache_path):
         train_pieces, valid_pieces, test_wav, test_notes = np.load(
             cache_path, allow_pickle=True)

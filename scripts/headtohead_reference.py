@@ -216,7 +216,7 @@ def main() -> int:
     post = tr.transcript(feat)
     notes_ours = tr.mpe2note(post["onset_B"], post["offset_B"], post["mpe_B"],
                              post["velocity_B"], mode_velocity="org")
-    s_ours = score_notes(test_notes, notes_ours, with_velocity=False)
+    s_ours = score_notes(test_notes, notes_ours, with_velocity=True)
 
     # --- export -> reference stack --------------------------------------
     export_path = os.path.join(args.out, "model_export.dat")
@@ -257,7 +257,7 @@ def main() -> int:
 
     notes_ref = amt.mpe2note(r_on_B, r_off_B, r_mpe_B, r_vel_B,
                              mode_velocity="org")
-    s_ref = score_notes(test_notes, notes_ref, with_velocity=False)
+    s_ref = score_notes(test_notes, notes_ref, with_velocity=True)
 
     same_notes = (
         len(notes_ours) == len(notes_ref)
@@ -269,6 +269,8 @@ def main() -> int:
     result = {
         "f1_ours": round(s_ours["F-measure_no_offset"], 4),
         "f1_reference_stack": round(s_ref["F-measure_no_offset"], 4),
+        "f1_velocity_ours": round(s_ours["F-measure_velocity"], 4),
+        "f1_velocity_reference_stack": round(s_ref["F-measure_velocity"], 4),
         "precision_ours": round(s_ours["Precision_no_offset"], 4),
         "recall_ours": round(s_ours["Recall_no_offset"], 4),
         "n_notes_ours": len(notes_ours),
@@ -285,6 +287,15 @@ def main() -> int:
           and abs(result["f1_ours"] - result["f1_reference_stack"]) < 5e-4
           and result["f1_ours"] >= 0.75)
     result["pass"] = ok
+    # Secondary soft gate: the relative f64-oracle gate above can loosen
+    # arbitrarily if the reference's own f32 error e_ref grows, so make any
+    # loosening past the historical fixed 5e-4 gate VISIBLE in the evidence
+    # JSON rather than silently absorbed (round-2 advisor finding).
+    result["posterior_delta_exceeds_legacy_5e-4_gate"] = post_delta > 5e-4
+    if result["posterior_delta_exceeds_legacy_5e-4_gate"]:
+        print(f"WARNING: posterior_max_abs_delta {post_delta:.3e} exceeds "
+              f"the legacy fixed 5e-4 gate; passing only via the relative "
+              f"oracle gate (e_ref={e_ref:.3e})", flush=True)
     print(json.dumps(result, indent=2))
     print("HEAD-TO-HEAD:", "PASS" if ok else "FAIL")
     return 0 if ok else 1

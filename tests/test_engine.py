@@ -51,14 +51,23 @@ def test_engine_matches_module_f32():
 
 
 def test_engine_matches_module_bf16():
+    """In bf16 both paths are rounded truths with different reduction
+    orders, so a fixed delta gate is init-scale-dependent (the
+    reference-parity init's xavier heads/FFN pushed a 0.1 rel gate over).
+    The scale-invariant gate: the engine's error from the f32 module truth
+    must be comparable to the flax bf16 path's OWN error from that truth —
+    i.e. the kernel adds reordering noise, not extra rounding stages."""
     cfg = small_config(compute_dtype="bfloat16")
-    ref, got = _forward_pair(cfg)
-    for k in (k for k in ref if k != "attention"):
-        r = np.asarray(ref[k], np.float32)
-        g = np.asarray(got[k], np.float32)
-        # both paths are bf16; ordering differences allow a few ulps
-        scale = np.maximum(np.abs(r), 1.0)
-        assert np.max(np.abs(r - g) / scale) < 0.1, k
+    ref16, got16 = _forward_pair(cfg)
+    ref32, _ = _forward_pair(small_config())      # f32 truth, same seed/init
+    for k in (k for k in ref16 if k != "attention"):
+        t = np.asarray(ref32[k], np.float32)
+        scale = np.maximum(np.abs(t), 1.0)
+        e_module = np.max(np.abs(np.asarray(ref16[k], np.float32) - t) / scale)
+        e_engine = np.max(np.abs(np.asarray(got16[k], np.float32) - t) / scale)
+        assert e_engine <= 2.0 * e_module + 1e-3, (
+            f"{k}: engine bf16 err {e_engine:.4f} vs module bf16 err "
+            f"{e_module:.4f}")
 
 
 def test_engine_single_stage_cafreq():
