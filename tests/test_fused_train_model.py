@@ -102,6 +102,84 @@ def test_fused_shard_map_dp_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+def test_hash_keep_mask_statistics():
+    """The in-kernel dropout hash: correct keep rate per seed, and
+    independent realizations across seeds (what per-shard ``fold_in``
+    streams rely on for DP decorrelation)."""
+    from nylon_amt_tpu.ops.attention import hash_keep_mask
+
+    rate = 0.1
+    shape = (1, 256, 256)
+    n = shape[1] * shape[2]
+
+    def mask(seed):
+        return np.asarray(
+            hash_keep_mask(jnp.int32(seed), 3, jnp.int32(0), shape, rate)
+        ) > 0
+
+    m1, m2 = mask(12345), mask(54321)
+    # keep-rate: binomial sigma = sqrt(p(1-p)/n) ~ 0.0012; allow 5 sigma
+    for m in (m1, m2):
+        assert abs(m.mean() - (1 - rate)) < 0.006, m.mean()
+    # cross-seed independence: P(agree) = p^2 + (1-p)^2 = 0.82
+    agree = (m1 == m2).mean()
+    assert abs(agree - 0.82) < 0.01, agree
+    # same seed regenerates the identical mask (fwd/bwd contract)
+    assert (mask(12345) == m1).all()
+
+
+def test_fused_shard_map_dp_dropout():
+    """DP shard_map at dropout 0.1 (the production MAESTRO recipe,
+    ``EXE-TRAINING-MAESTRO.sh``): per-shard mask streams must be
+    DECORRELATED (``train/step.py`` folds ``axis_index`` into the rng, so
+    DP deliberately does NOT bit-match single-device under dropout — see
+    PARITY.md divergences), and the full fused step must stay finite and
+    near the dropout-0 loss."""
+    from jax.sharding import PartitionSpec as P
+
+    from nylon_amt_tpu.parallel.mesh import (DATA_AXIS, make_mesh,
+                                             shard_batch)
+    from nylon_amt_tpu.train.step import create_train_state, make_train_step
+
+    cfg = small_config(dropout=0.1)
+    rng = np.random.default_rng(21)
+    one = fake_batch(rng, cfg, B=1)
+    # identical data on every shard: any per-shard loss difference can
+    # only come from the dropout rng stream
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x] * 8, axis=0), one)
+    params = init_params(cfg, jax.random.key(7), batch_size=1)
+    fused_apply = fused_train.make_fused_apply(cfg, interpret=True)
+    mesh = make_mesh(n_data=8, n_model=1)
+
+    def per_shard_loss(p, b, key):
+        # mirrors the train-step rng handling (train/step.py)
+        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        return loss_fn(cfg, fused_apply, p, b, key)[0][None]
+
+    losses = jax.shard_map(
+        per_shard_loss, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P()), out_specs=P(DATA_AXIS),
+        check_vma=False)(params, shard_batch(batch, mesh),
+                         jax.random.key(13))
+    losses = np.asarray(losses, np.float64)
+    assert np.isfinite(losses).all()
+    # (a) decorrelated masks: identical data, 8 distinct dropout losses
+    assert len(np.unique(losses)) == 8, losses
+    # (c) every shard's dropout loss stays near the deterministic loss
+    loss0 = float(loss_fn(cfg, fused_apply, params, batch)[0])
+    assert np.all(np.abs(losses - loss0) / abs(loss0) < 0.5), (losses, loss0)
+
+    # full production step (shard_map + psum + Adam) at dropout 0.1
+    state = create_train_state(cfg, jax.random.key(5), batch_size=8)
+    step = make_train_step(cfg, mesh=mesh, fused_apply=fused_apply)
+    state, metrics = step(state, shard_batch(batch, mesh),
+                          jax.random.key(9))
+    assert np.isfinite(float(metrics["loss"]))
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_fused_train_supports_gating():
     assert not fused_train.supports(small_config(enc_alg="cnnblock_safreq"))
     assert not fused_train.supports(small_config(dec_alg="linear_satime"))
