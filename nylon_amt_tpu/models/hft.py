@@ -91,14 +91,18 @@ def fused_stem(spec_in, conv_w, conv_b, emb_w, emb_b, *, cnn_channel,
     # (mixed bf16/f32 conv operands break the transposed-conv gradient).
     # f64 compute (oracle runs) keeps the whole stem in f64.
     acc = jnp.float64 if dtype == jnp.float64 else jnp.float32
-    x = spec_in.astype(acc)[:, None, :, :]              # [B, 1, n_bin, total]
-    kernel = k_eff.T[:, None, None, :]                  # [hid, 1, 1, 65]
+    # NHWC keeps hid on the lane axis end to end: the final transpose only
+    # swaps sublane dims (n_frame <-> n_bin), not a hid-to-lane relayout
+    # (the NCHW form measured 4.05 -> 3.45 ms fwd at batch 8, identical
+    # bits).
+    x = spec_in.astype(acc)[:, :, :, None]              # [B, n_bin, total, 1]
+    kernel = k_eff.astype(acc)[None, :, None, :]        # [1, 65, 1, hid] HWIO
     emb = jax.lax.conv_general_dilated(
         x, kernel, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )                                                    # [B, hid, n_bin, n_frame]
-    emb = emb.astype(dtype) + b_eff.astype(dtype)[None, :, None, None]
-    return emb.transpose(0, 3, 2, 1)                     # [B, n_frame, n_bin, hid]
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )                                                    # [B, n_bin, n_frame, hid]
+    emb = emb.astype(dtype) + b_eff.astype(dtype)
+    return emb.transpose(0, 2, 1, 3)                     # [B, n_frame, n_bin, hid]
 
 
 class MultiHeadAttention(nn.Module):

@@ -35,6 +35,7 @@ custom VJP.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -245,8 +246,15 @@ def _row_block(n: int, l_bytes_per_row: int,
     """Rows per grid program: the largest power-of-two divisor of ``n``
     within the VMEM budget (power-of-two blocks keep the matmul M-dims
     MXU-aligned; odd divisors of 4096 would otherwise fall through to
-    degenerate bn=2/3 blocks)."""
-    budget = (budget_mb or _BLOCK_BUDGET_MB) * 1024 * 1024
+    degenerate bn=2/3 blocks).
+
+    ``NYLON_BLOCK_BUDGET_MB`` overrides the default budget — the knob the
+    block-tuning ladder (``scripts/bench_train_stages.py``) sweeps.
+    """
+    if budget_mb is None:
+        budget_mb = float(os.environ.get("NYLON_BLOCK_BUDGET_MB", 0)) \
+            or _BLOCK_BUDGET_MB
+    budget = budget_mb * 1024 * 1024
     cap = max(1, int(budget / l_bytes_per_row))
     bn = 1
     while bn * 2 <= cap and n % (bn * 2) == 0:

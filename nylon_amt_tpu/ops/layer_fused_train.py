@@ -37,6 +37,7 @@ CPU tests cover the dropout path too).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -54,6 +55,23 @@ from nylon_amt_tpu.ops.layer_fused import (
     _row_block,
     _w_blk,
 )
+
+# VMEM budget for the training kernels' row blocks. 11 MB (vs the shared
+# 8 MB default) was picked by the block-tuning ladder
+# (scripts/bench_train_stages.py --ladder, r4): by the bytes-per-row model
+# it changes ONLY the time-layer shape (704, 128, 256) — bn 2 -> 4,
+# measured 4.14 -> 3.69 ms fwd+bwd per layer — while the freq-encoder
+# (5.77 MB/row, bn stays 1) and decoder (3.11 MB/row, bn stays 2) shapes
+# keep their proven-to-compile configurations (their next block size up
+# failed Mosaic compile at 12 MB). NYLON_BLOCK_BUDGET_MB still overrides
+# for ladder runs.
+_TRAIN_BUDGET_MB = 11.0
+
+
+def _train_row_block(n: int, l_bytes_per_row: int) -> int:
+    env = float(os.environ.get("NYLON_BLOCK_BUDGET_MB", 0))
+    return _row_block(n, l_bytes_per_row, env or _TRAIN_BUDGET_MB)
+
 
 # dropout site tags (hash-stream selectors; attention-weight sites use
 # _head_tag = (tag_base + 8) * 64 + head so per-head streams can never
@@ -345,6 +363,21 @@ def _enc_train_bytes_per_row(l, hid, pf, itemsize):
     return (l * hid * 14 * itemsize + 2 * l * pf * itemsize + 2 * l * l * 4)
 
 
+def _enc_train_fwd_bytes_per_row(l, hid, pf, itemsize):
+    # forward-only live set: the inference layer's estimate plus one f32
+    # dropout mask concurrent with the score matrix.
+    from nylon_amt_tpu.ops.layer_fused import _enc_bytes_per_row
+
+    return _enc_bytes_per_row(l, hid, pf, itemsize) + l * l * 4
+
+
+def _dec_train_fwd_bytes_per_row(lq, lk, hid, pf, itemsize, with_self):
+    # mirror of layer_fused.decoder_layer's fwd estimate + one mask.
+    base = (lq * hid * (9 if with_self else 6) + lk * hid * 4
+            + lq * pf) * itemsize
+    return base + 2 * max(lq * lk, lq * lq) * 4
+
+
 def _seed2d(seed):
     return jnp.asarray(seed, jnp.int32).reshape(1, 1)
 
@@ -368,12 +401,13 @@ def _enc_train_call(x, p, seed, n_heads, rate, interpret):
     scale = 1.0 / float(hid // n_heads) ** 0.5
     # Correctness does NOT require matching the backward grid (the dropout
     # masks are pure hashes of the GLOBAL element index, verified
-    # bit-identical across block sizes on hardware). Matched 2x sizing is
-    # kept because self-sized larger fwd blocks measured perf-neutral
-    # (96.2 vs 95.1 ms/batch-8 step — within tunnel noise) and one sizing
-    # rule is simpler to reason about.
-    bn = _row_block(n, 2 * _enc_train_bytes_per_row(l, hid, pf,
-                                                    x.dtype.itemsize))
+    # bit-identical across block sizes on hardware). The fwd sizes its
+    # blocks WITHOUT the backward's 2x grad-buffer factor: the r4 per-stage
+    # table showed fwd kernels at bn=1 running at half the utilization of
+    # the (same-math) inference kernels at bn=4 — grid-step overhead at
+    # 1024 one-row programs, not arithmetic.
+    bn = _train_row_block(n, _enc_train_fwd_bytes_per_row(l, hid, pf,
+                                                          x.dtype.itemsize))
     weights = [p.wqkv, p.bqkv, p.wo, p.bo, p.g, p.b, p.w1, p.b1, p.w2, p.b2]
     return pl.pallas_call(
         functools.partial(_enc_train_fwd_kernel, n_heads=n_heads, scale=scale,
@@ -399,7 +433,7 @@ def _enc_train_bwd(n_heads, rate, interpret, res, dz):
     pf = p.w1.shape[1]
     active = rate > 0.0
     scale = 1.0 / float(hid // n_heads) ** 0.5
-    bn = _row_block(n, 2 * _enc_train_bytes_per_row(l, hid, pf,
+    bn = _train_row_block(n, 2 * _enc_train_bytes_per_row(l, hid, pf,
                                                     x.dtype.itemsize))
     weights = [p.wqkv, p.bqkv, p.wo, p.bo, p.g, p.b, p.w1, p.b1, p.w2, p.b2]
     grad_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
@@ -686,10 +720,10 @@ def _dec_train_call(trg, enc, p, seed, n_heads, rate, interpret, kernel):
     active = rate > 0.0
     scale = 1.0 / float(hid // n_heads) ** 0.5
     with_self = hasattr(p, "wsqkv")
-    # 2x sizing matches the backward grid — a perf choice, not a correctness
-    # requirement (see encoder note).
-    bn = _row_block(n, 2 * _dec_bytes_per_row(lq, lk, hid, pf,
-                                              trg.dtype.itemsize, with_self))
+    # fwd-only sizing (no backward 2x grad-buffer factor) — block mismatch
+    # with the backward grid is safe, see the encoder note.
+    bn = _train_row_block(n, _dec_train_fwd_bytes_per_row(
+        lq, lk, hid, pf, trg.dtype.itemsize, with_self))
     weights = list(p)
     return pl.pallas_call(
         functools.partial(kernel, n_heads=n_heads, scale=scale, rate=rate,
@@ -712,7 +746,7 @@ def _dec_train_grad_call(trg, enc, p, seed, dz, n_heads, rate, interpret,
     active = rate > 0.0
     scale = 1.0 / float(hid // n_heads) ** 0.5
     with_self = hasattr(p, "wsqkv")
-    bn = _row_block(n, 2 * _dec_bytes_per_row(lq, lk, hid, pf,
+    bn = _train_row_block(n, 2 * _dec_bytes_per_row(lq, lk, hid, pf,
                                               trg.dtype.itemsize, with_self))
     weights = list(p)
     outs = pl.pallas_call(

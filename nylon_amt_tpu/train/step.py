@@ -48,14 +48,21 @@ def make_optimizer(config: Config) -> optax.GradientTransformation:
     """Adam (torch defaults: b1=.9 b2=.999 eps=1e-8 — ``m_training.py:146``),
     with a runtime-adjustable learning rate for the plateau scheduler and
     optional global-norm clipping (the reference parses ``-clip`` but never
-    uses it; we implement it for real, default off)."""
+    uses it; we implement it for real, default off).
+
+    The Adam update runs on the FLATTENED parameter vector
+    (``optax.flatten``): per-leaf updates over the model's 165 small
+    tensors cost ~6.5 ms/step in per-fusion launch overhead on the v5e vs
+    ~2.6 ms flattened (the elementwise math is identical, so training
+    trajectories are unchanged; only the opt-state layout differs —
+    ``mu``/``nu`` are stored as one flat f32 vector each)."""
     t = config.train
 
     def make(learning_rate):
         parts = []
         if t.clip is not None:
             parts.append(optax.clip_by_global_norm(t.clip))
-        parts.append(optax.adam(learning_rate, eps=1e-8))
+        parts.append(optax.flatten(optax.adam(learning_rate, eps=1e-8)))
         return optax.chain(*parts)
 
     return optax.inject_hyperparams(make)(learning_rate=t.lr)
