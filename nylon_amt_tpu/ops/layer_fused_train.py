@@ -363,19 +363,28 @@ def _enc_train_bytes_per_row(l, hid, pf, itemsize):
     return (l * hid * 14 * itemsize + 2 * l * pf * itemsize + 2 * l * l * 4)
 
 
-def _enc_train_fwd_bytes_per_row(l, hid, pf, itemsize):
-    # forward-only live set: the inference layer's estimate plus one f32
-    # dropout mask concurrent with the score matrix.
-    from nylon_amt_tpu.ops.layer_fused import _enc_bytes_per_row
+# Forward-only grids are additionally capped at 8 rows: Mosaic's true VMEM
+# need per row exceeds any static estimate at small hid (lane padding to
+# 128 plus per-head temporaries — the reduced-recipe hid-64 model OOMed at
+# the estimate-derived bn=32), and the measured fwd gains saturate by bn=8
+# on every production shape.
+_FWD_BN_CAP = 8
 
-    return _enc_bytes_per_row(l, hid, pf, itemsize) + l * l * 4
+
+def _enc_train_fwd_bytes_per_row(l, hid, pf, itemsize):
+    # forward-only live set with LANE PADDING: every last axis pads to 128
+    # on TPU, so hid=64 arrays occupy 128 lanes (this is what made the
+    # unpadded estimate 2.3x optimistic on the reduced recipe).
+    he, pe, le = max(hid, 128), max(pf, 128), max(l, 128)
+    return l * he * 8 * itemsize + l * pe * itemsize + 2 * l * le * 4
 
 
 def _dec_train_fwd_bytes_per_row(lq, lk, hid, pf, itemsize, with_self):
-    # mirror of layer_fused.decoder_layer's fwd estimate + one mask.
-    base = (lq * hid * (9 if with_self else 6) + lk * hid * 4
-            + lq * pf) * itemsize
-    return base + 2 * max(lq * lk, lq * lq) * 4
+    he, pe = max(hid, 128), max(pf, 128)
+    ls = max(lq, lk, 128)
+    base = (lq * he * (9 if with_self else 6) + lk * he * 4
+            + lq * pe) * itemsize
+    return base + 2 * lq * ls * 4
 
 
 def _seed2d(seed):
@@ -406,8 +415,8 @@ def _enc_train_call(x, p, seed, n_heads, rate, interpret):
     # table showed fwd kernels at bn=1 running at half the utilization of
     # the (same-math) inference kernels at bn=4 — grid-step overhead at
     # 1024 one-row programs, not arithmetic.
-    bn = _train_row_block(n, _enc_train_fwd_bytes_per_row(l, hid, pf,
-                                                          x.dtype.itemsize))
+    bn = min(_train_row_block(n, _enc_train_fwd_bytes_per_row(
+        l, hid, pf, x.dtype.itemsize)), _FWD_BN_CAP)
     weights = [p.wqkv, p.bqkv, p.wo, p.bo, p.g, p.b, p.w1, p.b1, p.w2, p.b2]
     return pl.pallas_call(
         functools.partial(_enc_train_fwd_kernel, n_heads=n_heads, scale=scale,
@@ -722,8 +731,8 @@ def _dec_train_call(trg, enc, p, seed, n_heads, rate, interpret, kernel):
     with_self = hasattr(p, "wsqkv")
     # fwd-only sizing (no backward 2x grad-buffer factor) — block mismatch
     # with the backward grid is safe, see the encoder note.
-    bn = _train_row_block(n, _dec_train_fwd_bytes_per_row(
-        lq, lk, hid, pf, trg.dtype.itemsize, with_self))
+    bn = min(_train_row_block(n, _dec_train_fwd_bytes_per_row(
+        lq, lk, hid, pf, trg.dtype.itemsize, with_self)), _FWD_BN_CAP)
     weights = list(p)
     return pl.pallas_call(
         functools.partial(kernel, n_heads=n_heads, scale=scale, rate=rate,
@@ -746,7 +755,13 @@ def _dec_train_grad_call(trg, enc, p, seed, dz, n_heads, rate, interpret,
     active = rate > 0.0
     scale = 1.0 / float(hid // n_heads) ** 0.5
     with_self = hasattr(p, "wsqkv")
-    bn = _train_row_block(n, 2 * _dec_bytes_per_row(lq, lk, hid, pf,
+    # decoder BACKWARD stays on the shared 8 MB budget: the 11 MB train
+    # budget bumps the cross-only (dec_zero) bwd to bn=4, which Mosaic
+    # rejects marginally (16.55M scoped vs the 16M limit) depending on
+    # surrounding compilation context — a fragile config; bn=2 is the
+    # proven one. (The 11 MB budget's measured win is the TIME-layer
+    # encoder bwd, which keeps it.)
+    bn = _row_block(n, 2 * _dec_bytes_per_row(lq, lk, hid, pf,
                                               trg.dtype.itemsize, with_self))
     weights = list(p)
     outs = pl.pallas_call(
