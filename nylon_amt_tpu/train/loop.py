@@ -76,6 +76,10 @@ class Trainer:
         self.best_epoch = -1
         self.best_div = -1
         self._preempt_requested = False
+        # split-arrays id -> DeviceWindowDataset (corpus uploaded once,
+        # reused across the epoch x div schedule)
+        self._dev_cache: dict = {}
+        self._epoch_scan = None   # lazy jitted device-side epoch executor
 
     # -- preemption / failure handling ----------------------------------------
     #
@@ -120,10 +124,39 @@ class Trainer:
             return shard_batch(batch, self.mesh)
         return batch
 
+    def _wrap_ds(self, ds):
+        """Promote a host WindowDataset to the device-resident sampler when
+        the split fits in HBM (single-process, non-CPU — see
+        ``data/device_windows.py``); identity otherwise. Cached so the
+        corpus uploads once per split, not once per (epoch, div)."""
+        if self.mesh is not None:
+            return ds
+        from nylon_amt_tpu.data.device_windows import (DeviceWindowDataset,
+                                                       as_device_dataset)
+
+        arrays = getattr(ds, "arrays", None)
+        if arrays is None:
+            return ds
+        cached = self._dev_cache.get(id(arrays))
+        if cached is not None and cached.arrays is arrays:
+            cached.idx = ds.idx
+            return cached
+        dev = as_device_dataset(ds, self.config)
+        if isinstance(dev, DeviceWindowDataset):
+            self._dev_cache[id(arrays)] = dev
+        return dev
+
     def train_epoch(self, state: TrainState, ds: WindowDataset,
                     rng: np.random.Generator,
                     dropout_rng: jax.Array) -> tuple[TrainState, float]:
         bs = self.config.train.batch_size
+        from nylon_amt_tpu.data.device_windows import DeviceWindowDataset
+
+        if (isinstance(ds, DeviceWindowDataset) and self.mesh is None
+                and jax.process_count() == 1
+                and state.batch_stats is None
+                and not self._preempt_requested):
+            return self._train_epoch_scan(state, ds, rng, dropout_rng)
         losses, n = [], 0
         # Keep per-step losses as device scalars and fetch once per epoch:
         # a host sync every step serializes the async dispatch pipeline
@@ -144,6 +177,41 @@ class Trainer:
             n += 1
         total = float(np.sum(jax.device_get(losses))) if losses else 0.0
         return state, total / max(n, 1)
+
+    def _train_epoch_scan(self, state: TrainState, ds,
+                          rng: np.random.Generator,
+                          dropout_rng: jax.Array) -> tuple[TrainState, float]:
+        """Device-side epoch: one jitted lax.scan over every step, window
+        gathers in-graph (``train/step.py::make_epoch_scan``). Selected for
+        device-resident splits on a single process without a mesh. Replays
+        the host path's exact shuffle/padding/rng semantics, so the two
+        paths produce the same training trajectory. Preemption granularity
+        is the epoch here (the scan cannot be interrupted mid-flight); the
+        signal handler's request is honored at the next epoch boundary.
+        """
+        from nylon_amt_tpu.train.step import make_epoch_scan
+
+        bs = self.config.train.batch_size
+        if self._epoch_scan is None:
+            # any instance's gather works: it closes over config window
+            # geometry only; the split arrays are an explicit argument
+            self._epoch_scan = make_epoch_scan(self.config, ds._gather_dev)
+        order = np.arange(len(ds.idx))
+        rng.shuffle(order)
+        n_full, tail = divmod(len(order), bs)
+        valid = np.ones(len(order), np.float32)
+        if tail:
+            pad = np.resize(order[n_full * bs:], bs)
+            order = np.concatenate([order[:n_full * bs], pad])
+            valid = np.concatenate([valid[:n_full * bs],
+                                    (np.arange(bs) < tail).astype(np.float32)])
+        starts = ds.idx[order].astype(np.int32).reshape(-1, bs)
+        valid = valid.reshape(-1, bs)
+        state, losses = self._epoch_scan(
+            state, ds._dev, jax.numpy.asarray(starts),
+            jax.numpy.asarray(valid), dropout_rng)
+        losses = np.asarray(jax.device_get(losses), np.float64)
+        return state, float(losses.sum() / max(len(losses), 1))
 
     def valid_epoch(self, state: TrainState, ds: WindowDataset) -> tuple[float, int]:
         bs = self.config.train.batch_size
@@ -225,8 +293,10 @@ class Trainer:
                     epoch_start += 1
                     div_start = 0
 
-        valid_shards = [provider("valid", d) for d in range(t.n_div_valid)]
-        test_shards = ([provider("test", d) for d in range(t.n_div_test)]
+        valid_shards = [self._wrap_ds(provider("valid", d))
+                        for d in range(t.n_div_valid)]
+        test_shards = ([self._wrap_ds(provider("test", d))
+                        for d in range(t.n_div_test)]
                        if valid_test else None)
 
         with self._preemption_guard():
@@ -235,7 +305,8 @@ class Trainer:
                                    test_shards)
 
         if metrics_fn is not None and not self._preempt_requested:
-            test_shards = [provider("test", d) for d in range(t.n_div_test)]
+            test_shards = [self._wrap_ds(provider("test", d))
+                           for d in range(t.n_div_test)]
             results = metrics_fn(state, test_shards)
             if is_coordinator():
                 with open(os.path.join(self.out_dir,
@@ -257,7 +328,7 @@ class Trainer:
                 # required because the jitted step donates the live buffers.
                 pre_state = jax.tree_util.tree_map(lambda x: x.copy(), state)
                 pre_rng = rng_state_to_json(rng)
-                ds_train = provider("train", div)
+                ds_train = self._wrap_ds(provider("train", div))
                 state, loss_train = self.train_epoch(state, ds_train, rng,
                                                      dropout_rng)
 
@@ -339,6 +410,10 @@ class Trainer:
                         and journal_reset_supported():
                     state, dropout_rng = reset_transfer_journal(
                         (state, dropout_rng))
+                    # device-resident splits died with the journal's
+                    # buffers; re-upload from the host arrays
+                    for dev_ds in self._dev_cache.values():
+                        dev_ds.refresh()
                     log.info("transfer journal reset at epoch %d div %d",
                              epoch, div)
 

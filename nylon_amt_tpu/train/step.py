@@ -230,8 +230,17 @@ def make_train_step(config: Config, mesh=None, fused_apply: Callable | None
 
         return train_step
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, batch: dict, dropout_rng: jax.Array):
+    body = _make_step_body(config, fused_apply)
+    train_step = functools.partial(jax.jit, donate_argnums=(0,))(body)
+    return train_step
+
+
+def _make_step_body(config: Config, fused_apply: Callable | None):
+    """The unjitted single-device step body — shared by the eager jitted
+    step and the Trainer's device-side epoch scan (``lax.scan`` over the
+    whole epoch inlines this body once per trace)."""
+
+    def step_body(state: TrainState, batch: dict, dropout_rng: jax.Array):
         rng = jax.random.fold_in(dropout_rng, state.step)
         apply_fn = fused_apply or state.apply_fn
         grad_fn = jax.value_and_grad(
@@ -247,7 +256,50 @@ def make_train_step(config: Config, mesh=None, fused_apply: Callable | None
             metrics = aux
         return new_state, metrics
 
-    return train_step
+    return step_body
+
+
+def make_epoch_scan(config: Config, gather_fn: Callable,
+                    fused_apply: Callable | None = None):
+    """Device-side epoch executor: ONE jitted ``lax.scan`` over every train
+    step of an epoch, with window gathers in-graph.
+
+    ``gather_fn(dev, starts) -> batch`` is the device dataset's gather
+    (``data/device_windows.py``); the scan consumes ``starts [n_steps, B]``
+    + ``valid [n_steps, B]`` and returns the post-epoch state plus the
+    per-step loss vector. Host<->device traffic per epoch: one int32
+    positions upload and one loss-vector fetch — the per-step dispatch and
+    H2D transfer that dominate small-model training through the tunnel
+    (measured 169 -> 84 -> ~25 ms/step host-loop vs scan) disappear.
+
+    Numerics are identical to the eager step loop: the same step body, the
+    same per-step ``fold_in(dropout_rng, state.step)`` stream, the same
+    valid-mask denominators (pinned by ``tests/test_train.py``).
+    """
+    from nylon_amt_tpu.models import fused_train
+    from nylon_amt_tpu.models.hft import resolve_attention_impl
+    from nylon_amt_tpu.ops.attention import on_tpu
+
+    if fused_apply is None and (
+            fused_train.supports(config) and on_tpu()
+            and resolve_attention_impl(
+                config.model.attention_impl) == "pallas"):
+        fused_apply = fused_train.make_fused_apply(config)
+    body = _make_step_body(config, fused_apply)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch_scan(state: TrainState, dev: dict, starts, valid,
+                   dropout_rng: jax.Array):
+        def scan_body(state, xs):
+            st, v = xs
+            batch = dict(gather_fn(dev, st))
+            batch["valid"] = v
+            state, metrics = body(state, batch, dropout_rng)
+            return state, metrics["loss"]
+
+        return jax.lax.scan(scan_body, state, (starts, valid))
+
+    return epoch_scan
 
 
 def make_eval_step(config: Config, mesh=None):

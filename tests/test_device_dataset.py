@@ -1,0 +1,161 @@
+"""Device-resident dataset (`data/device_windows.py`): exact equality with
+the host WindowDataset path, batches() contract, and fence refresh."""
+
+import numpy as np
+
+import jax
+
+from nylon_amt_tpu.config import Config
+from nylon_amt_tpu.data.corpus import assemble_split
+from nylon_amt_tpu.data.device_windows import (DeviceWindowDataset,
+                                               as_device_dataset,
+                                               split_nbytes)
+from nylon_amt_tpu.data.windows import WindowDataset
+
+
+def make_arrays(cfg, n_pieces=2, frames=300, seed=0, string=False):
+    rng = np.random.default_rng(seed)
+    feats, labels = [], []
+    for _ in range(n_pieces):
+        feats.append(rng.standard_normal((frames, 256)).astype(np.float32))
+        lab = {
+            "onset": (rng.random((frames, 88)) > 0.97).astype(np.float32),
+            "offset": (rng.random((frames, 88)) > 0.97).astype(np.float32),
+            "mpe": rng.random((frames, 88)) > 0.9,
+            "velocity": rng.integers(0, 127, (frames, 88)).astype(np.int8),
+        }
+        if string:
+            lab["string"] = rng.integers(0, 7, (frames, 88)).astype(np.int8)
+        labels.append(lab)
+    return assemble_split(cfg, feats, labels)
+
+
+def assert_batch_equal(a, b):
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)
+
+
+def test_gather_matches_host():
+    cfg = Config()
+    arrays = make_arrays(cfg)
+    host = WindowDataset(arrays, cfg, n_slice=3)
+    dev = DeviceWindowDataset(arrays, cfg, n_slice=3)
+    assert len(host) == len(dev)
+    pos = np.array([0, 5, len(host) - 1])
+    assert_batch_equal(host.gather(pos), dev.gather(pos))
+
+
+def test_gather_matches_host_with_string():
+    cfg = Config()
+    arrays = make_arrays(cfg, string=True)
+    host = WindowDataset(arrays, cfg)
+    dev = DeviceWindowDataset(arrays, cfg)
+    pos = np.array([1, 2])
+    batch = dev.gather(pos)
+    assert "string" in batch
+    assert_batch_equal(host.gather(pos), batch)
+
+
+def test_batches_stream_matches_host():
+    """Full epoch iteration incl. the padded tail batch + valid mask."""
+    cfg = Config()
+    arrays = make_arrays(cfg)
+    host = WindowDataset(arrays, cfg, n_slice=2)
+    dev = DeviceWindowDataset(arrays, cfg, n_slice=2)
+    kw = dict(batch_size=7, shuffle=True, pad_to_batch=True)
+    hb = list(host.batches(rng=np.random.default_rng(3), **kw))
+    db = list(dev.batches(rng=np.random.default_rng(3), **kw))
+    assert len(hb) == len(db) > 1
+    for a, b in zip(hb, db):
+        assert_batch_equal(a, b)
+
+
+def test_refresh_preserves_content():
+    cfg = Config()
+    arrays = make_arrays(cfg)
+    dev = DeviceWindowDataset(arrays, cfg)
+    pos = np.array([0, 3])
+    before = {k: np.asarray(v) for k, v in dev.gather(pos).items()}
+    dev.refresh()      # what the Trainer does after a journal fence
+    assert_batch_equal(before, dev.gather(pos))
+
+
+def test_as_device_dataset_gating():
+    cfg = Config()
+    arrays = make_arrays(cfg)
+    ds = WindowDataset(arrays, cfg, n_slice=4)
+    out = as_device_dataset(ds, cfg)
+    # conftest forces the CPU backend -> gating must return the host ds
+    assert jax.default_backend() == "cpu"
+    assert out is ds
+    assert split_nbytes(arrays) > 0
+
+
+def test_epoch_scan_matches_host_loop():
+    """The device-side epoch scan (one lax.scan over all steps, gathers
+    in-graph) must reproduce the host step-loop trajectory: same shuffle,
+    same dropout stream, same valid-mask denominators."""
+    import jax
+
+    from nylon_amt_tpu.config import ModelConfig, TrainConfig
+    from nylon_amt_tpu.train.loop import Trainer
+    from nylon_amt_tpu.train.step import create_train_state
+
+    cfg = Config(model=ModelConfig(hid_dim=16, pf_dim=32, enc_layer=1,
+                                   dec_layer=1, enc_head=2, dec_head=2,
+                                   dropout=0.0),
+                 train=TrainConfig(epochs=1, batch_size=4))
+    arrays = make_arrays(cfg, n_pieces=1, frames=280)
+    host = WindowDataset(arrays, cfg, n_slice=16)   # 18 windows -> padded tail
+    dev = DeviceWindowDataset(arrays, cfg, n_slice=16)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        tr = Trainer(cfg, d)
+        key = jax.random.key(7)
+
+        s_host = create_train_state(cfg, jax.random.key(1), batch_size=4)
+        s_host, loss_host = tr.train_epoch(
+            s_host, host, np.random.default_rng(5), key)
+
+        s_dev = create_train_state(cfg, jax.random.key(1), batch_size=4)
+        s_dev, loss_dev = tr.train_epoch(
+            s_dev, dev, np.random.default_rng(5), key)
+
+    assert abs(loss_host - loss_dev) < 1e-5 * max(1.0, abs(loss_host))
+    assert int(s_dev.step) == int(s_host.step) > 1
+    # same math, different compilations (eager jit vs scan-inlined):
+    # XLA's fusion order reassociates f32 sums — tolerate that, not more
+    for a, b in zip(jax.tree_util.tree_leaves(s_host.params),
+                    jax.tree_util.tree_leaves(s_dev.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-3)
+
+
+def test_trainer_uses_device_dataset_cache():
+    """_wrap_ds: same arrays -> one cached device dataset with the
+    caller's n_slice idx table."""
+    from nylon_amt_tpu.config import ModelConfig, TrainConfig
+    from nylon_amt_tpu.train.loop import Trainer
+
+    cfg = Config(model=ModelConfig(hid_dim=16, pf_dim=32, enc_layer=1,
+                                   dec_layer=1, enc_head=2, dec_head=2),
+                 train=TrainConfig(epochs=1, batch_size=2))
+    arrays = make_arrays(cfg)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        tr = Trainer(cfg, d)
+        ds1 = WindowDataset(arrays, cfg, n_slice=4)
+        out1 = tr._wrap_ds(ds1)
+        # CPU backend: gating keeps the host ds and caches nothing
+        assert out1 is ds1
+        # force-wrap to exercise the cache path regardless of backend
+        dev = DeviceWindowDataset(arrays, cfg, n_slice=4)
+        tr._dev_cache[id(arrays)] = dev
+        ds2 = WindowDataset(arrays, cfg, n_slice=2)
+        out2 = tr._wrap_ds(ds2)
+        assert out2 is dev
+        assert len(out2) == len(ds2)      # idx table updated to n_slice=2
