@@ -80,6 +80,7 @@ class Trainer:
         # reused across the epoch x div schedule)
         self._dev_cache: dict = {}
         self._epoch_scan = None   # lazy jitted device-side epoch executor
+        self._SCAN_CHUNK = 512    # steps per dispatch (see _train_epoch_scan)
 
     # -- preemption / failure handling ----------------------------------------
     #
@@ -207,10 +208,22 @@ class Trainer:
                                     (np.arange(bs) < tail).astype(np.float32)])
         starts = ds.idx[order].astype(np.int32).reshape(-1, bs)
         valid = valid.reshape(-1, bs)
-        state, losses = self._epoch_scan(
-            state, ds._dev, jax.numpy.asarray(starts),
-            jax.numpy.asarray(valid), dropout_rng)
-        losses = np.asarray(jax.device_get(losses), np.float64)
+        # Bounded dispatches: ONE scan over a 3750-step epoch is a ~100 s
+        # device execution, which the tunnel's worker does not survive
+        # (reproducibly "TPU worker process crashed or restarted"); chunks
+        # of _SCAN_CHUNK steps keep each dispatch ~15 s while retaining
+        # the scan path's amortization. The tail chunk (a second trace)
+        # reuses the same jitted fn at its own length.
+        out_losses = []
+        n_steps = starts.shape[0]
+        for lo in range(0, n_steps, self._SCAN_CHUNK):
+            hi = min(lo + self._SCAN_CHUNK, n_steps)
+            state, losses = self._epoch_scan(
+                state, ds._dev, jax.numpy.asarray(starts[lo:hi]),
+                jax.numpy.asarray(valid[lo:hi]), dropout_rng)
+            out_losses.append(losses)
+        losses = np.concatenate(
+            [np.asarray(jax.device_get(l), np.float64) for l in out_losses])
         return state, float(losses.sum() / max(len(losses), 1))
 
     def valid_epoch(self, state: TrainState, ds: WindowDataset) -> tuple[float, int]:
