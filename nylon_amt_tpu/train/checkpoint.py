@@ -80,8 +80,21 @@ class CheckpointManager:
                     "step": state.step}
         if getattr(state, "batch_stats", None) is not None:
             template["batch_stats"] = state.batch_stats
-        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
-                                          template)
+        # Host (numpy) template leaves carry no sharding and some orbax
+        # versions refuse to deserialize without one (seen on the CPU
+        # backend); fall back to a local single-device sharding while
+        # preserving real shardings (multi-host replicated arrays).
+        default = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+
+        def to_abstract(x):
+            s = getattr(x, "sharding", None)
+            if not isinstance(s, jax.sharding.Sharding):
+                s = default
+            return jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype
+                                        if not hasattr(x, "dtype") else x.dtype,
+                                        sharding=s)
+
+        abstract = jax.tree_util.tree_map(to_abstract, template)
         tree = self._ckptr.restore(os.path.join(path, "state"), abstract)
         with open(os.path.join(path, "host.json"), "r", encoding="utf-8") as f:
             host = json.load(f)
