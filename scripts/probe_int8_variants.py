@@ -150,14 +150,16 @@ def main():
     x = jnp.asarray(rng.standard_normal((n, l, hid)) * 0.3, jnp.bfloat16)
     pb = EncoderLayerParams(*[w.astype(jnp.bfloat16) for w in p])
 
+    # x is a jit ARGUMENT (537 MB at rows=4096 — closed over, it becomes
+    # an embedded constant and the remote-compile request 413s)
     variants = {
-        "bf16": lambda: encoder_layer(x, pb, heads,
-                                      interpret=args.interpret),
-        "q8_dynamic": lambda: encoder_layer_q8(x, q, heads,
-                                               interpret=args.interpret),
-        "q8_static": lambda: _call(_kernel_static, x, list(q), heads, scale,
-                                   args.interpret),
-        "q8_ffn_only": lambda: _call(
+        "bf16": lambda x: encoder_layer(x, pb, heads,
+                                        interpret=args.interpret),
+        "q8_dynamic": lambda x: encoder_layer_q8(x, q, heads,
+                                                 interpret=args.interpret),
+        "q8_static": lambda x: _call(_kernel_static, x, list(q), heads,
+                                     scale, args.interpret),
+        "q8_ffn_only": lambda x: _call(
             _kernel_ffn, x,
             [pb.wqkv, pb.bqkv, pb.wo, pb.bo, pb.g, pb.b,
              q.w1, q.s1, q.b1, q.w2, q.s2, q.b2],
@@ -168,11 +170,11 @@ def main():
     for name, fn in variants.items():
         try:
             jf = jax.jit(fn)
-            y = jf(); y = jf()
+            y = jf(x); y = jf(x)
             float(jnp.sum(y.reshape(-1)[:1].astype(jnp.float32)))
             t0 = time.perf_counter()
             for _ in range(args.iters):
-                y = jf()
+                y = jf(x)
             float(jnp.sum(y.reshape(-1)[:1].astype(jnp.float32)))
             ms = (time.perf_counter() - t0) / args.iters * 1e3
             results[name] = round(ms, 3)
