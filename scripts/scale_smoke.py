@@ -109,6 +109,8 @@ def main():
     ap.add_argument("--dur", type=float, default=20.0)
     ap.add_argument("--n-notes", type=int, default=64)
     ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--n-slice", type=int, default=16,
+                    help="window stride sampler (TrainConfig default 16)")
     ap.add_argument("--model", default="paper", choices=["paper", "small"],
                     help="paper = hid 256 / 3+3 (the production scale)")
     ap.add_argument("--corpus", default="/tmp/nylon_scale_corpus")
@@ -134,7 +136,7 @@ def main():
                                 compute_dtype="bfloat16")
     cfg = Config(model=model,
                  train=TrainConfig(epochs=args.epochs, batch_size=8,
-                                   lr=1e-4, n_slice=4,
+                                   lr=1e-4, n_slice=args.n_slice,
                                    n_div_train=args.shards))
     log("start", backend=jax.default_backend(), model=args.model,
         epochs=args.epochs, shards=args.shards)
