@@ -33,6 +33,14 @@ from nylon_amt_tpu.data.windows import WindowDataset
 # Per-split HBM budget for device residency (v5e has 16 GB; the paper
 # model + optimizer + activations need well under 1 GB).
 _MAX_BYTES = float(os.environ.get("NYLON_DEVICE_DATASET_MAX_BYTES", 4e9))
+# Aggregate budget across ALL cached splits (Trainer LRU-evicts to stay
+# under it — a multi-div corpus would otherwise pin n_div x 4 GB).
+_TOTAL_BYTES = float(os.environ.get("NYLON_DEVICE_DATASET_TOTAL_BYTES", 8e9))
+
+
+def device_dataset_budget() -> float:
+    """Aggregate HBM budget for resident splits (env-overridable)."""
+    return _TOTAL_BYTES
 
 
 def split_nbytes(arrays: SplitArrays) -> int:
@@ -50,6 +58,8 @@ class DeviceWindowDataset(WindowDataset):
         super().__init__(arrays, config, n_slice)
         import jax
         import jax.numpy as jnp
+
+        self.cached_nbytes = split_nbytes(arrays)
 
         # One upload per split; memmaps materialize here by design.
         self.refresh()
@@ -76,7 +86,14 @@ class DeviceWindowDataset(WindowDataset):
 
     def gather(self, positions: np.ndarray) -> dict:
         starts = self.idx[np.asarray(positions)].astype(np.int32)
+        self.ensure_resident()
         return self._gather_dev(self._dev, self._jnp.asarray(starts))
+
+    def ensure_resident(self) -> None:
+        """Re-upload if the buffers were freed (LRU eviction can delete a
+        split a caller still holds, e.g. fit()'s valid-shard list)."""
+        if not self._dev:
+            self.refresh()
 
     def refresh(self) -> None:
         """Re-upload the split after an event that killed device buffers

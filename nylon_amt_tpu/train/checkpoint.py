@@ -19,6 +19,14 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+# Checkpoint format version, stored in host.json. Bumped whenever the
+# saved pytree layout changes incompatibly, so a cross-version resume
+# fails with a clear message instead of an orbax shape mismatch.
+#   1: per-leaf Adam mu/nu (optax.adam)
+#   2: flattened Adam state (optax.flatten — one flat f32 mu/nu vector)
+CKPT_FORMAT_VERSION = 2
+
+
 def _tag(epoch: int, div: int) -> str:
     return f"model_{epoch:03d}_{div:03d}"
 
@@ -52,6 +60,7 @@ class CheckpointManager:
         artifacts are written by process 0 only.
         """
         path = os.path.join(self.directory, _tag(epoch, div))
+        host_state = {**host_state, "format_version": CKPT_FORMAT_VERSION}
         tree = {"params": state.params, "opt_state": state.opt_state,
                 "step": state.step}
         if getattr(state, "batch_stats", None) is not None:
@@ -76,15 +85,33 @@ class CheckpointManager:
     def restore(self, epoch: int, div: int, state) -> tuple[Any, dict]:
         """Restore into the structure of ``state``; returns (state, host)."""
         path = os.path.join(self.directory, _tag(epoch, div))
+        with open(os.path.join(path, "host.json"), "r", encoding="utf-8") as f:
+            host = json.load(f)
+        found = host.get("format_version", 1)
+        if found != CKPT_FORMAT_VERSION:
+            raise RuntimeError(
+                f"checkpoint {path} has format version {found}, this build "
+                f"expects {CKPT_FORMAT_VERSION} (v1->v2: the Adam state "
+                f"layout changed with optax.flatten). Re-train, or resume "
+                f"with the matching framework revision.")
         template = {"params": state.params, "opt_state": state.opt_state,
                     "step": state.step}
         if getattr(state, "batch_stats", None) is not None:
             template["batch_stats"] = state.batch_stats
         # Host (numpy) template leaves carry no sharding and some orbax
         # versions refuse to deserialize without one (seen on the CPU
-        # backend); fall back to a local single-device sharding while
-        # preserving real shardings (multi-host replicated arrays).
-        default = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+        # backend); fall back to a local single-device sharding — or, in a
+        # multi-process run, a replicated NamedSharding over all devices
+        # (a per-process SingleDeviceSharding names a different device on
+        # each process, which orbax treats as an inconsistent global
+        # sharding).
+        if jax.process_count() > 1:
+            mesh = jax.sharding.Mesh(np.array(jax.devices()), ("r",))
+            default = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec())
+        else:
+            default = jax.sharding.SingleDeviceSharding(
+                jax.local_devices()[0])
 
         def to_abstract(x):
             s = getattr(x, "sharding", None)
@@ -96,8 +123,6 @@ class CheckpointManager:
 
         abstract = jax.tree_util.tree_map(to_abstract, template)
         tree = self._ckptr.restore(os.path.join(path, "state"), abstract)
-        with open(os.path.join(path, "host.json"), "r", encoding="utf-8") as f:
-            host = json.load(f)
         new_state = state.replace(params=tree["params"],
                                   opt_state=tree["opt_state"],
                                   step=tree["step"],

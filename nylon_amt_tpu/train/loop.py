@@ -77,8 +77,13 @@ class Trainer:
         self.best_div = -1
         self._preempt_requested = False
         # split-arrays id -> DeviceWindowDataset (corpus uploaded once,
-        # reused across the epoch x div schedule)
+        # reused across the epoch x div schedule). Insertion order = LRU
+        # order; _wrap_ds evicts least-recently-used splits when the
+        # AGGREGATE cached bytes would exceed the global HBM budget (the
+        # per-split gate alone would let a multi-div corpus pin
+        # n_div x 4 GB and exceed the v5e's 16 GB mid-run).
         self._dev_cache: dict = {}
+        self._dev_cache_bytes = 0
         self._epoch_scan = None   # lazy jitted device-side epoch executor
         self._SCAN_CHUNK = 512    # steps per dispatch (see _train_epoch_scan)
 
@@ -133,18 +138,30 @@ class Trainer:
         if self.mesh is not None:
             return ds
         from nylon_amt_tpu.data.device_windows import (DeviceWindowDataset,
-                                                       as_device_dataset)
+                                                       as_device_dataset,
+                                                       device_dataset_budget,
+                                                       split_nbytes)
 
         arrays = getattr(ds, "arrays", None)
         if arrays is None:
             return ds
-        cached = self._dev_cache.get(id(arrays))
+        key = id(arrays)
+        cached = self._dev_cache.get(key)
         if cached is not None and cached.arrays is arrays:
             cached.idx = ds.idx
+            self._dev_cache[key] = self._dev_cache.pop(key)   # LRU touch
             return cached
+        budget = device_dataset_budget()
+        nbytes = split_nbytes(arrays)
+        while self._dev_cache and self._dev_cache_bytes + nbytes > budget:
+            old_key, old = next(iter(self._dev_cache.items()))
+            del self._dev_cache[old_key]
+            self._dev_cache_bytes -= old.cached_nbytes
+            old.delete()   # evicted splits re-upload on their next wrap
         dev = as_device_dataset(ds, self.config)
         if isinstance(dev, DeviceWindowDataset):
-            self._dev_cache[id(arrays)] = dev
+            self._dev_cache[key] = dev
+            self._dev_cache_bytes += dev.cached_nbytes
         return dev
 
     def train_epoch(self, state: TrainState, ds: WindowDataset,
@@ -193,6 +210,9 @@ class Trainer:
         from nylon_amt_tpu.train.step import make_epoch_scan
 
         bs = self.config.train.batch_size
+        if len(ds.idx) == 0:
+            return state, 0.0
+        ds.ensure_resident()
         if self._epoch_scan is None:
             # any instance's gather works: it closes over config window
             # geometry only; the split arrays are an explicit argument
@@ -217,11 +237,17 @@ class Trainer:
         out_losses = []
         n_steps = starts.shape[0]
         for lo in range(0, n_steps, self._SCAN_CHUNK):
+            if self._preempt_requested:
+                # Honor preemption at chunk (~15 s) granularity; the caller
+                # saves the pre-shard checkpoint and re-runs this shard.
+                break
             hi = min(lo + self._SCAN_CHUNK, n_steps)
             state, losses = self._epoch_scan(
                 state, ds._dev, jax.numpy.asarray(starts[lo:hi]),
                 jax.numpy.asarray(valid[lo:hi]), dropout_rng)
             out_losses.append(losses)
+        if not out_losses:
+            return state, 0.0
         losses = np.concatenate(
             [np.asarray(jax.device_get(l), np.float64) for l in out_losses])
         return state, float(losses.sum() / max(len(losses), 1))
