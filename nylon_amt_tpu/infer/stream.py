@@ -113,6 +113,11 @@ class StreamingTranscriber:
         # the first retained posterior block, and keys already returned
         self._post_start = 0
         self._popped: set[tuple] = set()
+        # one-dispatch block step (lazily jitted): featurize + window
+        # assembly + forward fused into ONE device computation, so the
+        # steady-state single-stream block costs one tunnel round trip
+        # instead of two (featurize fetch + forward fetch)
+        self._fused_step = None
 
     # -- properties -----------------------------------------------------------
 
@@ -266,12 +271,84 @@ class StreamingTranscriber:
             self._feat_start = keep_from
         return out
 
+    # -- one-dispatch single-block path ---------------------------------------
+
+    def _make_fused_step(self):
+        """Jit of: mel(seg) -> window assembly -> forward. Returns
+        ``(posteriors [1, ...], feats [n_seg_frames, n_bins])`` so the host
+        fetches BOTH in one ``device_get`` (one tunnel round trip)."""
+        import jax
+        import jax.numpy as jnp
+
+        tr = self.tr
+        mel = tr.frontend
+        win = self._margin_b + self._n_frame + self._margin_f
+
+        @jax.jit
+        def step(params, seg, win_prior, n_known):
+            feats = mel._compute_from_sample_blocks(seg[None])[0]
+            rows = jnp.arange(win)
+            # rows < n_known come from the host-prefilled prior (retained
+            # features / min_value stream padding); the rest are the frames
+            # just featurized, starting at feats[0] (the host's featurize
+            # pointer equals the first unknown window row by construction)
+            fresh = feats[jnp.clip(rows - n_known, 0, feats.shape[0] - 1)]
+            window = jnp.where((rows < n_known)[:, None], win_prior, fresh)
+            post = tr._run_batch(params, window.T[None])
+            return post, feats
+
+        return step
+
+    def _emit_block_fused(self, k: int) -> list[dict[str, np.ndarray]] | None:
+        """Emit ONE ready block in a single device dispatch + fetch.
+        Returns None when the fast path's preconditions don't hold (caller
+        falls back to the two-call path)."""
+        import jax
+        import jax.numpy as jnp
+
+        lo = k * self._n_frame - self._margin_b
+        hi = (k + 1) * self._n_frame + self._margin_f
+        f0 = self._featurized_until
+        n_known = f0 - lo
+        # All checks BEFORE _take_pending (it consumes the sample buffer):
+        # the known prefix must be host-available (negative rows are stream
+        # padding), and the pending frames must cover the rest of the window.
+        if not (0 <= n_known < hi - lo):
+            return None
+        if max(lo, 0) < self._feat_start or self._next_frame < hi:
+            return None
+        seg, n_new = self._take_pending()
+        win_prior = np.full((hi - lo, self._n_bins), self._min_value,
+                            np.float32)
+        src_lo = max(lo, self._feat_start)
+        if f0 > src_lo:
+            win_prior[src_lo - lo : f0 - lo] = \
+                self._feat[src_lo - self._feat_start : f0 - self._feat_start]
+        seg, _ = self.bucket_segment(seg, n_new)
+        if self._fused_step is None:
+            self._fused_step = self._make_fused_step()
+        post_dev, feats_dev = self._fused_step(
+            self.tr.params, jnp.asarray(seg), jnp.asarray(win_prior),
+            jnp.int32(n_known))
+        post, feats = jax.device_get((post_dev, feats_dev))
+        self._accept_features(np.asarray(feats[:n_new], np.float32))
+        return self.accept_posteriors([k], post)
+
     def _emit_ready_blocks(self, final: bool) -> list[dict[str, np.ndarray]]:
         """Run every ready block through this session's own Transcriber."""
-        blocks, windows = self.ready_windows(final)
-        if not blocks:
-            return []
-        out = self.accept_posteriors(blocks, self.tr._run_all(windows))
+        ready = self._ready_block_ids(final)
+        out = None
+        if (len(ready) == 1 and not final and self.tr.params is not None
+                and self.tr.mesh is None):
+            # steady-state realtime case: one block -> one round trip
+            out = self._emit_block_fused(ready[0])
+        if out is not None:
+            blocks = ready
+        else:
+            blocks, windows = self.ready_windows(final)
+            if not blocks:
+                return []
+            out = self.accept_posteriors(blocks, self.tr._run_all(windows))
         # Tunnel hygiene for endless single-stream sessions: every uploaded
         # segment is retained by the journaling tunnel (utils/tunnel.py);
         # with all posteriors now host-side this is a safe fence point.

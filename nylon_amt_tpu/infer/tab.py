@@ -39,24 +39,38 @@ class TabResult:
     n_clamped: int = 0
 
 
-def annotate_strings(notes: list[dict], string_grid, config) -> list[dict]:
+def annotate_strings(notes: list[dict], string_grid, config,
+                     aggregate: bool = True) -> list[dict]:
     """Attach the tab head's predicted string to decoded note events.
 
     ``string_grid [T, num_note] int`` is the argmax of the model's
     ``string_B`` logits (``Transcriber.transcript()["string_B"]`` —
-    ModelConfig.tab_head). Each note gets ``note["string"]`` from the grid
-    cell at its onset frame; a 0 ("no string") prediction leaves the note
-    unannotated, falling back to :func:`assign_strings`' greedy rule.
-    Returns new note dicts; the inputs are not mutated.
+    ModelConfig.tab_head). With ``aggregate=True`` (default) each note's
+    string is the MAJORITY VOTE of the non-zero grid cells over the note's
+    own [onset, offset) span on its pitch row — the per-frame head is noisy
+    away from the attack, and a single-cell read (the old behavior,
+    ``aggregate=False``) measurably under-performs the vote. A note with no
+    non-zero cell in its span stays unannotated, falling back to
+    :func:`assign_strings`' greedy rule. Returns new note dicts; the inputs
+    are not mutated.
     """
+    import numpy as np
+
     fps = config.feature.frames_per_sec
     note_min = config.midi.note_min
-    T = string_grid.shape[0]
+    grid = np.asarray(string_grid)
+    T = grid.shape[0]
     out = []
     for n in notes:
         n = dict(n)
-        frame = min(max(int(n["onset"] * fps + 0.5), 0), T - 1)
-        pred = int(string_grid[frame, n["pitch"] - note_min])
+        f0 = min(max(int(n["onset"] * fps + 0.5), 0), T - 1)
+        if aggregate:
+            f1 = min(max(int(n["offset"] * fps + 0.5), f0 + 1), T)
+            span = grid[f0:f1, n["pitch"] - note_min]
+            votes = np.bincount(span[span > 0].astype(np.int64))
+            pred = int(votes.argmax()) if votes.size > 1 else 0
+        else:
+            pred = int(grid[f0, n["pitch"] - note_min])
         if pred > 0:
             n["string"] = pred
         out.append(n)

@@ -98,28 +98,13 @@ def _dense(x, p, dt):
     return y + p["bias"].astype(dt)
 
 
-def _dropout(x, key, rate):
-    if rate <= 0.0:
-        return x
-    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype)
-
-
-def _rbg_key(key):
-    """Re-key onto the TPU hardware RNG: threefry mask generation for the
-    two embedding-dropout sites costs ~10 ms/step at batch 8; rbg is ~free.
-    One cheap threefry draw seeds the rbg stream, so the caller's key still
-    fully determines the masks."""
-    data = jax.random.bits(key, (4,), jnp.uint32)
-    return jax.random.wrap_key_data(data, impl="rbg")
-
-
 def train_forward(params, spec, config: Config, dropout_rng,
                   *, interpret: bool = False, rate: float | None = None
                   ) -> dict:
     """Training forward: logits dict matching ``HFT.apply`` (no attention
-    map). ``dropout_rng`` drives both the XLA embedding dropouts and the
-    per-layer in-kernel hash-stream seeds."""
+    map). ``dropout_rng`` derives the per-layer in-kernel hash-stream seeds
+    (embedding dropout included — it rides in the first layer of each stage
+    via ``emb_drop``)."""
     cfg = config
     m = cfg.model
     dt = _dt(cfg)
@@ -135,8 +120,6 @@ def train_forward(params, spec, config: Config, dropout_rng,
         return jax.random.randint(jax.random.fold_in(dropout_rng, 1000 + i),
                                   (), 0, 2 ** 31 - 1, dtype=jnp.int32)
 
-    mask_key = _rbg_key(dropout_rng) if rate else dropout_rng
-
     # ---- frequency encoder --------------------------------------------------
     emb = fused_stem(spec, enc_p["conv_kernel"], enc_p["conv_bias"],
                      enc_p["tok_embedding_kernel"],
@@ -146,10 +129,13 @@ def train_forward(params, spec, config: Config, dropout_rng,
     h = emb.reshape(B * n_frame, n_bin, hid)
     pos = enc_p["pos_embedding_freq"]["embedding"].astype(dt)
     h = h * sqrt_hid + pos[None]
-    h = _dropout(h, jax.random.fold_in(mask_key, 1), rate)
+    # The reference's dropout-on-embeddings rides inside the first layer's
+    # kernels (emb_drop — an in-VMEM hash-mask site; the former XLA
+    # bernoulli site generated ~270 MB of rbg bits + mask traffic per step).
     for i in range(m.enc_layer):
         h = encoder_layer_train(h, _pack_enc(enc_p[f"layers_freq_{i}"]),
-                                seed_for(i), m.enc_head, rate, interpret)
+                                seed_for(i), m.enc_head, rate, interpret,
+                                i == 0)
 
     # ---- stage 1: CAfreq ----------------------------------------------------
     note_q = dec_p["pos_embedding_freq"]["embedding"].astype(dt)
@@ -180,10 +166,10 @@ def train_forward(params, spec, config: Config, dropout_rng,
     t = t.transpose(0, 2, 1, 3).reshape(B * n_note, n_frame, hid)
     time_pos = dec_p["pos_embedding_time"]["embedding"].astype(dt)
     t = t * sqrt_hid + time_pos[None]
-    t = _dropout(t, jax.random.fold_in(mask_key, 2), rate)
     for i in range(m.dec_layer):
         t = encoder_layer_train(t, _pack_enc(dec_p[f"layers_time_{i}"]),
-                                seed_for(20 + i), m.dec_head, rate, interpret)
+                                seed_for(20 + i), m.dec_head, rate, interpret,
+                                i == 0)
 
     def head_t(name):
         return _dense(t, dec_p[name], dt)

@@ -52,37 +52,75 @@ def _pick_block_rows(n: int, lq: int, lk: int, hid: int,
     return bn
 
 
-def hash_keep_mask(seed, tag, row0, shape, rate):
+def hash_keep_mask(seed, tag, row0, shape, rate, dtype=jnp.float32):
     """Layout-independent dropout keep-mask (scaled by 1/(1-rate)).
 
     ``pltpu.prng_random_bits`` output depends on the compiled vector layout,
     which can differ between the forward and backward kernel binaries even
     for identical seeds and shapes — regenerated masks then silently
     disagree and gradients are wrong. Instead the mask is a pure function
-    of the GLOBAL element index: a murmur3-style 32-bit hash of
-    ``(global_row, d1, d2)`` mixed with the caller's seed and a per-site
-    tag. Identical in any kernel, any grid, any layout (and available in
-    interpret mode on CPU); ~8 VPU ops per element.
+    of the GLOBAL element index ``(row0+r)*d1*d2 + c1*d2 + c2``, mixed with
+    the caller's seed and a per-site tag. Identical in any kernel, any
+    grid, any layout (and available in interpret mode on CPU).
+
+    VPU cost is the point (the mask streams are regenerated in both the
+    forward and backward kernels at ~6 sites/layer): the linear index is
+    built from TWO iotas on the collapsed ``(n*d1, d2)`` view, and the
+    finalizer is xorshift-mult-xorshift-mult (lowbias32 without the final
+    low-bit xorshift — the ``>= threshold`` compare weighs high bits, which
+    the last multiply already avalanches). ~11 VPU ops/element vs ~17 for
+    the r2-r4 murmur3 finalizer; keep-rate, site decorrelation, and
+    unbiasedness are pinned by the same tests.
+
+    ``dtype`` selects the mask dtype — activation sites pass bf16 so the
+    scale lands directly in compute dtype (one select instead of
+    bool->f32->mul->bf16).
 
     Matches inverted-dropout semantics on the attention weights (the
     reference's ``dropout(attention)`` — ``model_spec2midi.py:348``).
     """
-    _, d1, d2 = shape
-    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
-    c1 = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    c2 = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-    lin = ((r * d1 + c1) * d2 + c2).astype(jnp.uint32)
+    n, d1, d2 = shape
+    # pack only when the halves land on full 128-lane tiles: the final
+    # concat is then a free tile-aligned placement (a misaligned lane
+    # concat would cost the shuffle the packing saves)
+    pack = d2 % 256 == 0
+    w = d2 // 2 if pack else d2
+    flat = (n * d1, w)
+    r = jax.lax.broadcasted_iota(jnp.int32, flat, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, flat, 1)
+    base = (row0 * d1 * w).astype(jnp.uint32) if hasattr(row0, "astype") \
+        else jnp.uint32((row0 * d1 * w) & 0xFFFFFFFF)
+    lin = (r * w + c).astype(jnp.uint32) + base
     x = lin ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)) \
         ^ jnp.uint32((tag * 0x85EBCA6B) & 0xFFFFFFFF)
-    x = x * jnp.uint32(0xCC9E2D51)
-    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(15))
-    x = x * jnp.uint32(0x1B873593)
-    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(13))
-    x = x * jnp.uint32(0xC2B2AE35)
     x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(16))
-    threshold = jnp.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
-    keep = (x >= threshold).astype(jnp.float32)
-    return keep * (1.0 / (1.0 - rate))
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(15))
+    x = x * jnp.uint32(0x846CA68B)
+
+    def select(v, threshold, inv):
+        # select in f32 (the i1 compare result lives in 32-bit lane layout;
+        # Mosaic cannot relayout it for a 16-bit select), then cast
+        keep = jnp.where(v >= threshold, jnp.float32(inv), jnp.float32(0.0))
+        return keep if dtype == jnp.float32 else keep.astype(dtype)
+
+    if not pack:
+        threshold = jnp.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
+        return select(x, threshold, 1.0 / (1.0 - rate)).reshape(shape)
+    # packed: each 32-bit hash yields TWO 16-bit draws; element (r, c) of a
+    # row takes half c // (d2/2) of hash (r, c % (d2/2)) — the two halves
+    # fill concatenated lane blocks (no lane interleave, which Mosaic would
+    # have to shuffle). Rate is quantized to 1/65536 (0.1 -> 0.1000061);
+    # the keep scale inverts the QUANTIZED rate, so the mask stays exactly
+    # unbiased.
+    t16 = min(max(int(round(rate * 65536)), 1), 65535)
+    inv = 65536.0 / (65536.0 - t16)
+    threshold = jnp.uint32(t16)
+    lo = x & jnp.uint32(0xFFFF)
+    hi = jax.lax.shift_right_logical(x, jnp.uint32(16))
+    keep = jnp.concatenate([select(lo, threshold, inv),
+                            select(hi, threshold, inv)], axis=-1)
+    return keep.reshape(shape)
 
 
 def _head_attention(qh, kh, vh, scale):

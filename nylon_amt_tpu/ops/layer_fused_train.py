@@ -80,6 +80,13 @@ def _train_row_block(n: int, l_bytes_per_row: int) -> int:
 # the score and activation shapes coincide, e.g. L == hid at paper scale)
 _SITE_ATTN, _SITE_ATTN_OUT, _SITE_FFN_MID, _SITE_FFN_OUT = 0, 1, 2, 3
 _SITE_SA, _SITE_SA_OUT = 4, 5
+# embedding dropout applied to the layer INPUT (the reference drops the
+# scaled embedding+position sum before the first layer of each stage —
+# model_spec2midi.py's ``self.dropout(...)`` on the embeddings). Fused into
+# the first layer's kernels via ``emb_drop=True``: the mask costs ~10 VPU
+# ops/element in VMEM instead of an XLA bernoulli site (rbg bit generation
+# + mask/scale HBM traffic on a [B*frames, bins, hid] tensor).
+_SITE_EMB = 6
 
 
 def _head_tag(tag_base, head):
@@ -234,7 +241,8 @@ def _heads_bwd(qkv, do, n_heads, scale, rate, active, dt, drop,
     return jnp.concatenate([dq, dkv], axis=-1)
 
 
-def _enc_train_fwd_body(x, refs, n_heads, scale, rate, active, seed_ref):
+def _enc_train_fwd_body(x, refs, n_heads, scale, rate, active, seed_ref,
+                        emb_drop=False):
     """Weights arrive f32 (so cotangents keep f32 precision at the
     custom_vjp boundary) and are cast to the compute dtype on read."""
     (wqkv, bqkv, wo, bo, g, b, w1, b1, w2, b2) = refs
@@ -242,34 +250,37 @@ def _enc_train_fwd_body(x, refs, n_heads, scale, rate, active, seed_ref):
     c = lambda r: r[...].astype(dt)
     seed = seed_ref[0, 0]
     row0 = pl.program_id(0) * x.shape[0]
-    drop = lambda tag, shape: _keep_mask(seed, tag, row0, shape, rate)
+    drop = lambda tag, shape, dtype=jnp.float32: _keep_mask(seed, tag, row0, shape, rate, dtype)
+    if active and emb_drop:
+        x = x * drop(_SITE_EMB, x.shape, dt)
     qkv = _matmul(x, c(wqkv), c(bqkv))
     heads = _heads_fwd(qkv, n_heads, scale, rate, active, dt, drop)
     attn = _matmul(heads, c(wo), c(bo))
     if active:
-        attn = attn * drop(_SITE_ATTN_OUT, attn.shape).astype(dt)
+        attn = attn * drop(_SITE_ATTN_OUT, attn.shape, dt)
     y, _, _ = _ln_fwd(x + attn, g[...], b[...])
     mid = jnp.maximum(_matmul(y, c(w1), c(b1)), 0)
     if active:
-        mid = mid * drop(_SITE_FFN_MID, mid.shape).astype(dt)
+        mid = mid * drop(_SITE_FFN_MID, mid.shape, dt)
     ff = _matmul(mid, c(w2), c(b2))
     if active:
-        ff = ff * drop(_SITE_FFN_OUT, ff.shape).astype(dt)
+        ff = ff * drop(_SITE_FFN_OUT, ff.shape, dt)
     z, _, _ = _ln_fwd(y + ff, g[...], b[...])
     return z
 
 
 def _enc_train_fwd_kernel(seed_ref, x_ref, *refs, n_heads, scale, rate,
-                          active):
+                          active, emb_drop=False):
     o_ref = refs[-1]
     o_ref[...] = _enc_train_fwd_body(x_ref[...], refs[:-1], n_heads, scale,
-                                     rate, active, seed_ref)
+                                     rate, active, seed_ref, emb_drop)
 
 
 def _enc_train_bwd_kernel(seed_ref, x_ref, do_ref, wqkv, bqkv, wo, bo, g, b,
                           w1, b1, w2, b2, dx_ref, dwqkv_ref, dbqkv_ref,
                           dwo_ref, dbo_ref, dg_ref, db_ref, dw1_ref, db1_ref,
-                          dw2_ref, db2_ref, *, n_heads, scale, rate, active):
+                          dw2_ref, db2_ref, *, n_heads, scale, rate, active,
+                          emb_drop=False):
     @pl.when(pl.program_id(0) == 0)
     def _init():
         for r in (dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref, dg_ref, db_ref,
@@ -283,14 +294,19 @@ def _enc_train_bwd_kernel(seed_ref, x_ref, do_ref, wqkv, bqkv, wo, bo, g, b,
     gv = g[...]
     seed = seed_ref[0, 0]
     row0 = pl.program_id(0) * x.shape[0]
-    drop = lambda tag, shape: _keep_mask(seed, tag, row0, shape, rate)
+    drop = lambda tag, shape, dtype=jnp.float32: _keep_mask(seed, tag, row0, shape, rate, dtype)
+    if active and emb_drop:
+        # dropped input: the layer (fwd recompute AND dwqkv/dx) sees x*m0;
+        # the cotangent wrt the raw x gets the same mask on the way out.
+        m0 = drop(_SITE_EMB, x.shape, dt)
+        x = x * m0
 
     # ---- recompute forward (masks identical by construction) ----------------
     qkv = _matmul(x, c(wqkv), c(bqkv))
     heads = _heads_fwd(qkv, n_heads, scale, rate, active, dt, drop)
     attn_pre = _matmul(heads, c(wo), c(bo))
     if active:
-        m2 = drop(_SITE_ATTN_OUT, attn_pre.shape).astype(dt)
+        m2 = drop(_SITE_ATTN_OUT, attn_pre.shape, dt)
         attn = attn_pre * m2
     else:
         attn = attn_pre
@@ -299,13 +315,13 @@ def _enc_train_bwd_kernel(seed_ref, x_ref, do_ref, wqkv, bqkv, wo, bo, g, b,
     u = _matmul(y, c(w1), c(b1))
     mid = jnp.maximum(u, 0)
     if active:
-        m3 = drop(_SITE_FFN_MID, mid.shape).astype(dt)
+        m3 = drop(_SITE_FFN_MID, mid.shape, dt)
         midd = mid * m3
     else:
         midd = mid
     ff_pre = _matmul(midd, c(w2), c(b2))
     if active:
-        m4 = drop(_SITE_FFN_OUT, ff_pre.shape).astype(dt)
+        m4 = drop(_SITE_FFN_OUT, ff_pre.shape, dt)
         ff = ff_pre * m4
     else:
         ff = ff_pre
@@ -355,6 +371,8 @@ def _enc_train_bwd_kernel(seed_ref, x_ref, do_ref, wqkv, bqkv, wo, bo, g, b,
     dx = da1 + jax.lax.dot_general(dqkv, c(wqkv), (((2,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32
                                    ).astype(dt)
+    if active and emb_drop:
+        dx = dx * m0
     dx_ref[...] = dx
 
 
@@ -394,16 +412,20 @@ def _seed2d(seed):
 _SEED_SPEC = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def encoder_layer_train(x, p: EncoderLayerParams, seed, n_heads: int,
-                        rate: float, interpret: bool = False):
+                        rate: float, interpret: bool = False,
+                        emb_drop: bool = False):
     """Training forward of one self-attention block; differentiable wrt
     ``x`` and every field of ``p``. ``seed`` (int32 scalar array) drives the
-    in-kernel dropout streams; it gets no gradient."""
-    return _enc_train_call(x, p, seed, n_heads, rate, interpret)
+    in-kernel dropout streams; it gets no gradient. ``emb_drop=True``
+    additionally applies embedding dropout (site ``_SITE_EMB``) to ``x``
+    inside the kernel — the first layer of each stage absorbs the
+    reference's dropout-on-embeddings this way."""
+    return _enc_train_call(x, p, seed, n_heads, rate, interpret, emb_drop)
 
 
-def _enc_train_call(x, p, seed, n_heads, rate, interpret):
+def _enc_train_call(x, p, seed, n_heads, rate, interpret, emb_drop=False):
     n, l, hid = x.shape
     pf = p.w1.shape[1]
     active = rate > 0.0
@@ -420,7 +442,7 @@ def _enc_train_call(x, p, seed, n_heads, rate, interpret):
     weights = [p.wqkv, p.bqkv, p.wo, p.bo, p.g, p.b, p.w1, p.b1, p.w2, p.b2]
     return pl.pallas_call(
         functools.partial(_enc_train_fwd_kernel, n_heads=n_heads, scale=scale,
-                          rate=rate, active=active),
+                          rate=rate, active=active, emb_drop=emb_drop),
         grid=(n // bn,),
         in_specs=[_SEED_SPEC, _act_blk(bn, l, hid)]
         + [_w_blk(w.shape) for w in weights],
@@ -431,12 +453,12 @@ def _enc_train_call(x, p, seed, n_heads, rate, interpret):
     )(_seed2d(seed), x, *weights)
 
 
-def _enc_train_fwd(x, p, seed, n_heads, rate, interpret):
-    return _enc_train_call(x, p, seed, n_heads, rate, interpret), \
+def _enc_train_fwd(x, p, seed, n_heads, rate, interpret, emb_drop=False):
+    return _enc_train_call(x, p, seed, n_heads, rate, interpret, emb_drop), \
         (x, p, seed)
 
 
-def _enc_train_bwd(n_heads, rate, interpret, res, dz):
+def _enc_train_bwd(n_heads, rate, interpret, emb_drop, res, dz):
     x, p, seed = res
     n, l, hid = x.shape
     pf = p.w1.shape[1]
@@ -449,7 +471,7 @@ def _enc_train_bwd(n_heads, rate, interpret, res, dz):
                    for w in weights]
     outs = pl.pallas_call(
         functools.partial(_enc_train_bwd_kernel, n_heads=n_heads, scale=scale,
-                          rate=rate, active=active),
+                          rate=rate, active=active, emb_drop=emb_drop),
         grid=(n // bn,),
         in_specs=[_SEED_SPEC, _act_blk(bn, l, hid), _act_blk(bn, l, hid)]
         + [_w_blk(w.shape) for w in weights],
@@ -485,14 +507,14 @@ def _cross_tail_fwd_body(trg, enc, wq, bq, wkv, bkv, wo, bo, g, b, w1, b1,
     heads = _heads_fwd_cross(q, kv, n_heads, scale, rate, active, dt, drop)
     attn = _matmul(heads, wo, bo)
     if active:
-        attn = attn * drop(_SITE_ATTN_OUT, attn.shape).astype(dt)
+        attn = attn * drop(_SITE_ATTN_OUT, attn.shape, dt)
     y, _, _ = _ln_fwd(trg + attn, g, b)
     mid = jnp.maximum(_matmul(y, w1, b1), 0)
     if active:
-        mid = mid * drop(_SITE_FFN_MID, mid.shape).astype(dt)
+        mid = mid * drop(_SITE_FFN_MID, mid.shape, dt)
     ff = _matmul(mid, w2, b2)
     if active:
-        ff = ff * drop(_SITE_FFN_OUT, ff.shape).astype(dt)
+        ff = ff * drop(_SITE_FFN_OUT, ff.shape, dt)
     z, _, _ = _ln_fwd(y + ff, g, b)
     return z
 
@@ -505,7 +527,7 @@ def _self_prologue_fwd(trg, wsqkv, bsqkv, wso, bso, g, b, n_heads, scale,
                        tag_base=_SITE_SA)
     sa = _matmul(heads, wso, bso)
     if active:
-        sa = sa * drop(_SITE_SA_OUT, sa.shape).astype(dt)
+        sa = sa * drop(_SITE_SA_OUT, sa.shape, dt)
     t1, _, _ = _ln_fwd(trg + sa, g, b)
     return t1
 
@@ -513,7 +535,7 @@ def _self_prologue_fwd(trg, wsqkv, bsqkv, wso, bso, g, b, n_heads, scale,
 def _drop_fn(seed_ref, bn, rate):
     seed = seed_ref[0, 0]
     row0 = pl.program_id(0) * bn
-    return lambda tag, shape: _keep_mask(seed, tag, row0, shape, rate)
+    return lambda tag, shape, dtype=jnp.float32: _keep_mask(seed, tag, row0, shape, rate, dtype)
 
 
 def _dec_zero_train_fwd_kernel(seed_ref, trg_ref, enc_ref, *refs, n_heads,
@@ -561,7 +583,7 @@ def _cross_tail_bwd_body(trg, enc, dz, refs, acc, n_heads, scale, rate,
     heads = _heads_fwd_cross(q, kv, n_heads, scale, rate, active, dt, drop)
     attn_pre = _matmul(heads, c(wo), c(bo))
     if active:
-        m2 = drop(_SITE_ATTN_OUT, attn_pre.shape).astype(dt)
+        m2 = drop(_SITE_ATTN_OUT, attn_pre.shape, dt)
         attn = attn_pre * m2
     else:
         attn = attn_pre
@@ -570,13 +592,13 @@ def _cross_tail_bwd_body(trg, enc, dz, refs, acc, n_heads, scale, rate,
     u = _matmul(y, c(w1), c(b1))
     mid = jnp.maximum(u, 0)
     if active:
-        m3 = drop(_SITE_FFN_MID, mid.shape).astype(dt)
+        m3 = drop(_SITE_FFN_MID, mid.shape, dt)
         midd = mid * m3
     else:
         midd = mid
     ff_pre = _matmul(midd, c(w2), c(b2))
     if active:
-        m4 = drop(_SITE_FFN_OUT, ff_pre.shape).astype(dt)
+        m4 = drop(_SITE_FFN_OUT, ff_pre.shape, dt)
     a2 = y + (ff_pre * m4 if active else ff_pre)
     _, xhat2, inv2 = _ln_fwd(a2, gv, b[...])
 
@@ -678,7 +700,7 @@ def _dec_train_bwd_kernel(seed_ref, trg_ref, enc_ref, do_ref, *refs,
                         tag_base=_SITE_SA)
     sa_pre = _matmul(sheads, c(wso), c(bso))
     if active:
-        msa = drop(_SITE_SA_OUT, sa_pre.shape).astype(dt)
+        msa = drop(_SITE_SA_OUT, sa_pre.shape, dt)
         sa = sa_pre * msa
     else:
         sa = sa_pre

@@ -97,6 +97,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from nylon_amt_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from nylon_amt_tpu.config import Config, ModelConfig, TrainConfig
     from nylon_amt_tpu.models import fused_train
     from nylon_amt_tpu.models.hft import fused_stem

@@ -51,11 +51,46 @@ from nylon_amt_tpu.infer.tab import STANDARD_TUNING
 
 MAX_FRET = 12
 CORPUS_SEED = 7          # np.random.default_rng seed for corpus synthesis
-SYNTH_VERSION = "v2"     # bump when synth_guitar_piece/tuning change
+SYNTH_VERSION = "v3"     # bump when synth_guitar_piece/tuning change
 # Per-string physics, string 1 (high E) .. string 6 (low E): thicker strings
 # ring longer and sound darker.
 STRING_DECAY = (0.990, 0.992, 0.994, 0.9955, 0.9965, 0.9975)
 STRING_DARKEN = (0, 1, 2, 3, 4, 5)       # smoothing passes on the excitation
+# v3 additive-synthesis string signatures. The r4 KS darken/decay cue was
+# too weak (learned string accuracy tied the lowest-fret rule); these make
+# string identity unambiguous in a mel spectrum:
+# * inharmonicity B (partial k at k*f0*sqrt(1+B k^2)) grows ~20x from the
+#   high E to the wound low E — at k=8 the low strings' partials are
+#   shifted by ~1/4 semitone, a full mel bin;
+# * spectral rolloff (partial amplitude k^-rolloff) darkens thick strings;
+# * per-partial decay rate scales with string damping.
+STRING_INHARM = (2e-5, 4e-5, 8e-5, 1.6e-4, 2.7e-4, 4.0e-4)
+STRING_ROLLOFF = (0.7, 0.9, 1.1, 1.35, 1.6, 1.9)
+STRING_DAMP = (3.2, 2.9, 2.6, 2.2, 1.9, 1.6)   # amplitude e-folds per sec
+
+
+def pluck_additive(rng, f0: float, n: int, sr: int, string: int,
+                   n_partials: int = 14):
+    """Inharmonic additive pluck with per-string inharmonicity, rolloff,
+    and damping (see STRING_* tables)."""
+    B = STRING_INHARM[string - 1]
+    roll = STRING_ROLLOFF[string - 1]
+    damp = STRING_DAMP[string - 1]
+    t = np.arange(n) / sr
+    wav = np.zeros(n)
+    for k in range(1, n_partials + 1):
+        fk = k * f0 * np.sqrt(1.0 + B * k * k)
+        if fk > 0.45 * sr:
+            break
+        amp = k ** -roll * np.exp(-t * damp * (1 + 0.35 * (k - 1)))
+        wav += amp * np.sin(2 * np.pi * fk * t + rng.uniform(0, 2 * np.pi))
+    wav *= np.minimum(1.0, t / 0.004)          # 4 ms attack
+    # brief pick transient, darker on thick strings
+    burst = rng.uniform(-1, 1, min(n, int(0.006 * sr)))
+    for _ in range(STRING_DARKEN[string - 1]):
+        burst = 0.5 * (burst + np.roll(burst, 1))
+    wav[:burst.size] += 0.6 * burst * np.linspace(1, 0, burst.size)
+    return 0.5 * wav
 
 
 def ks_pluck(rng, f0: float, n: int, sr: int, decay: float = 0.996,
@@ -105,9 +140,8 @@ def synth_guitar_piece(rng, sr=16000, dur=20.0, n_notes=40,
         n = min(int(length * sr), wav.size - i0)
         if n <= 0:
             break
-        wav[i0:i0 + n] += (vel / 127.0) * 0.5 * ks_pluck(
-            rng, f0, n, sr, decay=STRING_DECAY[string - 1],
-            darken=STRING_DARKEN[string - 1])
+        wav[i0:i0 + n] += (vel / 127.0) * pluck_additive(
+            rng, f0, n, sr, string)
         notes.append({"pitch": pitch, "onset": round(onset, 4),
                       "offset": round(onset + n / sr, 4), "velocity": vel,
                       "string": string})

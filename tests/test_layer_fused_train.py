@@ -269,6 +269,56 @@ def test_dropout_masks_differ_between_sites_and_seeds():
     assert not np.allclose(np.asarray(out_a), np.asarray(out_det))
 
 
+def test_emb_drop_site():
+    """``emb_drop=True`` applies the _SITE_EMB hash mask to the layer INPUT
+    (the fused home of the reference's dropout-on-embeddings). Checks:
+    (a) it equals the explicit mask applied outside the kernel at
+    emb_drop=False; (b) the custom-VJP gradient satisfies the
+    finite-difference identity (fwd/bwd mask alignment incl. the dx mask)."""
+    from nylon_amt_tpu.ops.layer_fused_train import _SITE_EMB, _keep_mask
+
+    x, p = make_inputs(21)
+    seed = jnp.int32(7)
+    rate = 0.3
+    got = encoder_layer_train(x, p, seed, HEADS, rate, True, True)
+    m0 = _keep_mask(seed, _SITE_EMB, jnp.int32(0), x.shape, rate)
+    want = encoder_layer_train((x * m0).astype(x.dtype), p, seed, HEADS,
+                               rate, True, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    co = jnp.asarray(np.random.default_rng(22).standard_normal((N, L, HID)),
+                     jnp.float32)
+
+    def f_emb(x):
+        return jnp.sum(
+            encoder_layer_train(x, p, seed, HEADS, rate, True, True) * co)
+
+    def f_chain(x):
+        # identical function, but the emb mask is an EXPLICIT outer
+        # multiply autodiffed by JAX — the inner kernel's bwd is pinned by
+        # the other tests, so any in-kernel emb bwd error (missing dx*m0,
+        # mask mismatch) shows as a gradient difference here
+        return jnp.sum(encoder_layer_train(
+            (x * m0).astype(x.dtype), p, seed, HEADS, rate, True, False)
+            * co)
+
+    assert float(f_emb(x)) == float(f_emb(x))       # deterministic
+    dx_emb = jax.grad(f_emb)(x)
+    dx_chain = jax.grad(f_chain)(x)
+    np.testing.assert_allclose(np.asarray(dx_emb), np.asarray(dx_chain),
+                               atol=1e-4, rtol=1e-4, err_msg="dx")
+
+    dp_demb = jax.grad(lambda q: jnp.sum(encoder_layer_train(
+        x, q, seed, HEADS, rate, True, True) * co))(p)
+    dp_pre = jax.grad(lambda q: jnp.sum(encoder_layer_train(
+        (x * m0).astype(x.dtype), q, seed, HEADS, rate, True, False)
+        * co))(p)
+    for name, a, b in zip(EncoderLayerParams._fields, dp_demb, dp_pre):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-4, err_msg=f"d{name}")
+
+
 def test_grad_accumulates_across_blocks():
     """Weight grads must sum over all grid programs (multiple row blocks)."""
     x, p = make_inputs(3)
