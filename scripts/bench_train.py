@@ -19,11 +19,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run_e2e(config, args) -> dict:
+def run_e2e(config, args, mesh=None) -> dict:
     """End-to-end epoch loop: real WindowDataset gathers feeding the jitted
     step through the background prefetch thread (the production input path),
     vs the compute-only scan number. Per-step losses stay on device; one
-    fetch at the end closes the pipeline.
+    fetch at the end closes the pipeline. With ``mesh``, batches go through
+    ``shard_batch`` and the shard_map step — the host input path the
+    device-resident dataset gate falls back to under meshes.
     """
     import jax
 
@@ -45,7 +47,13 @@ def run_e2e(config, args) -> dict:
     ds = WindowDataset(arrays, config, n_slice=1)
 
     state = create_train_state(config, jax.random.key(0), batch_size=B)
-    step = make_train_step(config)
+    transfer = jax.device_put
+    if mesh is not None:
+        from nylon_amt_tpu.parallel.mesh import shard_batch, shard_params
+
+        state = state.replace(params=shard_params(state.params, mesh))
+        transfer = lambda b: shard_batch(b, mesh)   # noqa: E731
+    step = make_train_step(config, mesh=mesh)
     key = jax.random.key(1)
     shuffle_rng = np.random.default_rng(1)
 
@@ -53,7 +61,7 @@ def run_e2e(config, args) -> dict:
         losses, n = [], 0
         for batch in prefetch(ds.batches(B, shuffle=True, rng=shuffle_rng,
                                          pad_to_batch=True, drop_last=True),
-                              transfer=jax.device_put):
+                              transfer=transfer):
             state, metrics = step(state, batch, key)
             losses.append(metrics["loss"])
             n += 1
@@ -85,6 +93,13 @@ def main() -> None:
     ap.add_argument("--e2e", action="store_true",
                     help="also time the real input pipeline (WindowDataset "
                          "gather + prefetch thread + device_put per step)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="run the step through the DP mesh code path "
+                         "(shard_map + psum over all local devices; on the "
+                         "single-chip environment this is a 1-device mesh "
+                         "— it measures the MESH PATH's input overlap, the "
+                         "configuration where device-resident datasets "
+                         "auto-gate off)")
     args = ap.parse_args()
 
     import jax
@@ -111,9 +126,18 @@ def main() -> None:
         "velocity": jnp.asarray(rng.integers(0, 128, (B, 128, 88)), jnp.int32),
         "valid": jnp.ones((B,), jnp.float32),
     }
+    mesh = None
+    if args.mesh:
+        from nylon_amt_tpu.parallel.mesh import make_mesh, shard_batch, \
+            shard_params
+
+        mesh = make_mesh(n_data=jax.device_count(), n_model=1)
+        batch = shard_batch(batch, mesh)
     state = create_train_state(config, jax.random.key(0), batch_size=B)
+    if mesh is not None:
+        state = state.replace(params=shard_params(state.params, mesh))
     # The PRODUCTION step (fused-layer custom-VJP path on TPU).
-    step = make_train_step(config)
+    step = make_train_step(config, mesh=mesh)
 
     t0 = time.time()
     state, metrics = step(state, batch, jax.random.key(1))
@@ -140,8 +164,10 @@ def main() -> None:
         "batch": B,
         "dropout": args.dropout,
     }
+    if args.mesh:
+        out["mesh"] = f"dp={jax.device_count()}"
     if args.e2e:
-        out.update(run_e2e(config, args))
+        out.update(run_e2e(config, args, mesh=mesh))
         out["e2e_vs_compute_only"] = round(
             out["e2e_audio_sec_per_sec"] / audio_per_sec, 3)
     print(json.dumps(out))

@@ -57,45 +57,52 @@ def compose(rng: np.random.Generator, dur: float = 20.0,
     tempo2 = int(rng.integers(400_000, 650_000))
     tmap = _TempoMap(tempo1, tempo2, t_change=dur * float(rng.uniform(.4, .6)))
 
+    # Density calibration (r5): the first cut of this generator reached
+    # max polyphony ~13 under long pedal spans — unlearnable for the
+    # hid-64 proof recipe at proof-corpus scale (held-out F1 0.14). The
+    # rates below keep every hard LABEL path (pedal-extended offsets,
+    # re-onsets incl. re-onset-under-pedal, chords, tempo change) while
+    # holding polyphony to ~3-6 so the proof model can climb to a
+    # non-degenerate but sub-1.0 score band.
     events = []
     t = 0.15
     while t < dur - 1.2:
         kind = rng.random()
-        if kind < 0.35:                      # chord, 2-4 notes
-            root = int(rng.integers(pitch_lo, pitch_hi - 16))
-            n = int(rng.integers(2, 5))
-            ivals = rng.choice([3, 4, 5, 7, 9, 12], size=n - 1, replace=False)
+        if kind < 0.28:                      # chord, 2-3 notes
+            root = int(rng.integers(pitch_lo, pitch_hi - 13))
+            n = int(rng.integers(2, 4))
+            ivals = rng.choice([4, 5, 7, 12], size=n - 1, replace=False)
             pitches = [root] + [root + int(np.sum(ivals[:k + 1]))
                                 for k in range(n - 1)]
-            length = float(rng.uniform(0.3, 1.2))
+            length = float(rng.uniform(0.25, 0.8))
             for p in pitches:
                 events.append((t, length * float(rng.uniform(0.85, 1.0)), p,
                                int(rng.integers(25, 121))))
-            t += float(rng.uniform(0.25, 0.7))
-        elif kind < 0.55:                    # rapid same-pitch repeats
+            t += float(rng.uniform(0.4, 0.9))
+        elif kind < 0.5:                     # rapid same-pitch repeats
             p = int(rng.integers(pitch_lo, pitch_hi))
-            n_rep = int(rng.integers(2, 5))
-            step = float(rng.uniform(0.12, 0.3))
+            n_rep = int(rng.integers(2, 4))
+            step = float(rng.uniform(0.15, 0.3))
             for k in range(n_rep):
                 # duration >= step: the next onset CLOSES the previous note
                 # (the re-onset path), both with and without pedal
-                events.append((t + k * step, step * float(rng.uniform(1.0, 1.6)),
+                events.append((t + k * step, step * float(rng.uniform(1.0, 1.5)),
                                p, int(rng.integers(25, 121))))
-            t += n_rep * step + float(rng.uniform(0.1, 0.3))
+            t += n_rep * step + float(rng.uniform(0.15, 0.4))
         else:                                # melody note (may overlap)
             p = int(rng.integers(pitch_lo, pitch_hi))
-            events.append((t, float(rng.uniform(0.1, 0.8)), p,
+            events.append((t, float(rng.uniform(0.1, 0.6)), p,
                            int(rng.integers(25, 121))))
-            t += float(rng.uniform(0.1, 0.4))
+            t += float(rng.uniform(0.15, 0.45))
 
-    # pedal spans over ~40% of the piece (never overlapping)
+    # short pedal spans over ~20% of the piece (never overlapping)
     spans = []
     t = float(rng.uniform(0.5, 2.0))
     while t < dur - 1.5:
-        span = float(rng.uniform(0.8, 2.5))
-        if rng.random() < 0.55:
+        span = float(rng.uniform(0.5, 1.2))
+        if rng.random() < 0.45:
             spans.append((t, min(t + span, dur - 0.6)))
-        t += span + float(rng.uniform(0.5, 1.5))
+        t += span + float(rng.uniform(1.0, 2.2))
     return events, spans, tmap
 
 
