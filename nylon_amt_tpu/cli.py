@@ -276,10 +276,13 @@ def cmd_transcribe(args) -> int:
             from nylon_amt_tpu.infer.tab import annotate_strings, write_alphatex
 
             tab_notes = notes
-            if "string_B" in post:
-                # Learned tab head (ModelConfig.tab_head): use the model's
-                # string predictions; infeasible cells fall back to the
-                # greedy assignment inside write_alphatex.
+            if args.tab_head and "string_B" in post:
+                # Learned tab head (ModelConfig.tab_head), opt-in: on the
+                # measured guitar proof corpus it has not yet beaten the
+                # greedy lowest-fret rule (docs/guitar_run.log: 0.55 vs
+                # 0.60), so the default export uses the heuristic;
+                # infeasible head cells fall back to the greedy assignment
+                # inside write_alphatex either way.
                 tab_notes = annotate_strings(notes, post["string_B"], config)
             write_alphatex(tab_notes,
                            os.path.join(out_dir, stem + ".alphatex"),
@@ -541,6 +544,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--save-posteriors", action="store_true")
     r.add_argument("--tab", action="store_true",
                    help="also export guitar tablature (alphaTex)")
+    r.add_argument("--tab-head", action="store_true",
+                   help="string assignment from the learned tab head "
+                        "(ModelConfig.tab_head) instead of the default "
+                        "lowest-fret heuristic; experimental — the head "
+                        "has not yet beaten the heuristic on the guitar "
+                        "proof corpus (docs/guitar_run.log)")
     r.add_argument("--sheet", action="store_true",
                    help="also export sheet music (MusicXML)")
     r.add_argument("--int8", action="store_true",
