@@ -16,8 +16,11 @@ starts and gather spec/label windows in one jitted device computation.
 Semantics are IDENTICAL to :class:`WindowDataset` (same idx table, same
 margins/transpose/dtypes, same batches() iteration contract) — pinned by
 ``tests/test_device_dataset.py``. ``Trainer`` auto-wraps host datasets
-with :func:`as_device_dataset` when the split fits (single-process,
-non-CPU, under ``NYLON_DEVICE_DATASET_MAX_BYTES``).
+with :func:`as_device_dataset` when residency is worthwhile
+(:func:`host_input_is_hidden` — paper-class models keep the measured-free
+host path) and safe (single-process, non-CPU, split under
+``NYLON_DEVICE_DATASET_MAX_BYTES``); ``NYLON_DEVICE_DATASET=1/0``
+force-overrides the heuristic.
 """
 
 from __future__ import annotations
@@ -36,6 +39,33 @@ _MAX_BYTES = float(os.environ.get("NYLON_DEVICE_DATASET_MAX_BYTES", 4e9))
 # Aggregate budget across ALL cached splits (Trainer LRU-evicts to stay
 # under it — a multi-div corpus would otherwise pin n_div x 4 GB).
 _TOTAL_BYTES = float(os.environ.get("NYLON_DEVICE_DATASET_TOTAL_BYTES", 8e9))
+# Force the promotion decision: "1" promotes whenever the split fits,
+# "0" never promotes, unset -> the measured model-scale heuristic below.
+_FORCE = os.environ.get("NYLON_DEVICE_DATASET", "")
+
+
+def host_input_is_hidden(config: Config) -> bool:
+    """Measured gate: is the host input path (gather + prefetch thread +
+    ``device_put``) already fully hidden behind device compute, so device
+    residency buys nothing and its blocking per-(re)load upload is pure
+    overhead?
+
+    Two measured regimes (PERF.md, `docs/scale_run_r5.log`):
+
+    * paper scale (hid 256, ~85 ms/step at batch 8): host path is free —
+      ``e2e_vs_compute_only`` 1.003 (plain) / 1.006 (DP-mesh path) — while
+      resident splits at MAESTRO n_div=4 geometry LRU-thrash and pay a
+      blocking ~1.4 GB upload per div, ~25-30% extra wall;
+    * reduced recipe (hid 64, ~20 ms/step): host path is ~8x device
+      compute and residency wins 169 -> 27 ms/step.
+
+    The boundary is where step compute stops covering the ~2 tunnel RTTs
+    + ~3 MB H2D per step (~70-85 ms); step time scales ~hid_dim^2, so the
+    cut sits between the two measured points, biased toward promotion
+    (the loss from wrongly promoting is bounded by the upload; the loss
+    from wrongly not promoting is ~8x the step).
+    """
+    return config.model.hid_dim >= 192
 
 
 def device_dataset_budget() -> float:
@@ -133,6 +163,8 @@ def as_device_dataset(ds, config: Config):
             or isinstance(ds, DeviceWindowDataset):
         return ds
     if jax.process_count() > 1 or jax.default_backend() == "cpu":
+        return ds
+    if _FORCE == "0" or (_FORCE != "1" and host_input_is_hidden(config)):
         return ds
     if split_nbytes(ds.arrays) > _MAX_BYTES:
         return ds

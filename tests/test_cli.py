@@ -239,3 +239,43 @@ def test_train_trace_writes_profile(workdir, tmp_path):
     assert rc == 0
     found = [p for p in trace_dir.rglob("*") if p.is_file()]
     assert found, "no trace artifacts written"
+
+
+def test_tab_head_is_opt_in(workdir, tmp_path, monkeypatch):
+    """Default --tab export uses the lowest-fret heuristic; the learned
+    string head (which has not beaten the heuristic on the guitar proof
+    corpus — docs/guitar_run.log) engages only with --tab-head."""
+    from nylon_amt_tpu.infer import tab as tab_mod
+    from nylon_amt_tpu.train.checkpoint import CheckpointManager
+    from nylon_amt_tpu.train.step import create_train_state
+
+    cfg = Config(
+        model=ModelConfig(hid_dim=16, pf_dim=32, enc_layer=1, dec_layer=1,
+                          enc_head=2, dec_head=2, dropout=0.0,
+                          tab_head=True),
+        train=TrainConfig(batch_size=4, epochs=1, n_slice=8),
+    )
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(cfg.to_dict(), f)
+    state = create_train_state(cfg, jax.random.key(0))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(0, 0, state, {"note": "tab fixture"}, is_best=True)
+
+    calls = []
+    real = tab_mod.annotate_strings
+    monkeypatch.setattr(
+        tab_mod, "annotate_strings",
+        lambda *a, **k: calls.append(1) or real(*a, **k))
+
+    common = ["transcribe", "--config", str(tmp_path / "config.json"),
+              "--checkpoint", str(tmp_path / "ckpt"),
+              "--wav", str(workdir / "te0.wav"), "--tab"]
+    rc = main(common + ["--out", str(tmp_path / "out_default")])
+    assert rc == 0
+    assert not calls, "default --tab must not consult the learned head"
+    assert (tmp_path / "out_default" / "te0.alphatex").exists()
+
+    rc = main(common + ["--tab-head", "--out", str(tmp_path / "out_head")])
+    assert rc == 0
+    assert calls, "--tab-head must route through annotate_strings"
+    assert (tmp_path / "out_head" / "te0.alphatex").exists()

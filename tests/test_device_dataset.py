@@ -159,3 +159,19 @@ def test_trainer_uses_device_dataset_cache():
         out2 = tr._wrap_ds(ds2)
         assert out2 is dev
         assert len(out2) == len(ds2)      # idx table updated to n_slice=2
+
+
+def test_host_input_hidden_heuristic():
+    """Device residency is for models whose step can't hide the host
+    input path: paper-class (hid 256) measured e2e_vs_compute_only
+    1.003/1.006 -> host path; the reduced recipe (hid 64) measured 8x
+    input-bound -> promote (docs/scale_run_r5.log, PERF.md)."""
+    from nylon_amt_tpu.config import ModelConfig
+    from nylon_amt_tpu.data.device_windows import host_input_is_hidden
+
+    paper = Config(model=ModelConfig(hid_dim=256, pf_dim=512, enc_layer=3,
+                                     dec_layer=3, enc_head=4, dec_head=4))
+    reduced = Config(model=ModelConfig(hid_dim=64, pf_dim=128, enc_layer=2,
+                                       dec_layer=2, enc_head=2, dec_head=2))
+    assert host_input_is_hidden(paper)
+    assert not host_input_is_hidden(reduced)
